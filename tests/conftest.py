@@ -1,0 +1,21 @@
+"""Test configuration: force a CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual CPU mesh
+(``xla_force_host_platform_device_count``); kernels and engine math are
+backend-independent (int64/uint32 exact arithmetic).
+"""
+
+import os
+
+# The session environment may pin JAX_PLATFORMS to the TPU tunnel; tests
+# must run on the local CPU backend (exact int64 math is backend-independent).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,68 @@
+"""Codec: encode/decode roundtrip, rotation/conjugation slot semantics."""
+
+import numpy as np
+import pytest
+
+from tiberate_tpu.rng.csprng import Csprng
+from tiberate_tpu.utils import encoding as codec
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return Csprng(num_coefs=256, num_channels=[4],
+                  num_repeating_channels=2, seed=23)
+
+
+def test_encode_decode_roundtrip(rng):
+    N = 256
+    slots = N // 2
+    m = np.random.default_rng(0).uniform(-1, 1, slots) + 1j * \
+        np.random.default_rng(1).uniform(-1, 1, slots)
+    coeffs = codec.encode(m, rng=rng, scale=2**40, norm="forward")
+    assert coeffs.shape == (N,)
+    assert coeffs.dtype == np.int64
+    back = codec.decode(coeffs, scale=2**40, norm="forward")[:slots]
+    np.testing.assert_allclose(back, m, atol=1e-8)
+
+
+def test_encode_real_message(rng):
+    N = 256
+    m = np.arange(N // 2, dtype=np.float64)
+    coeffs = codec.encode(m, rng=rng, scale=2**40, norm="forward")
+    back = codec.decode(coeffs, scale=2**40, norm="forward")[: N // 2]
+    np.testing.assert_allclose(back.real, m, atol=1e-7)
+    np.testing.assert_allclose(back.imag, 0, atol=1e-7)
+
+
+def test_rotation_rotates_slots(rng):
+    """codec.rotate on coefficients == cyclic rotation of decoded slots."""
+    N = 256
+    slots = N // 2
+    m = np.random.default_rng(2).uniform(-1, 1, slots)
+    coeffs = codec.encode(m, rng=rng, scale=2**40, norm="forward")
+    for delta in (1, 3, -2, 17):
+        rot = codec.rotate_np(coeffs, delta)
+        back = codec.decode(rot, scale=2**40, norm="forward")[:slots]
+        np.testing.assert_allclose(back.real, np.roll(m, delta), atol=1e-7)
+
+
+def test_conjugate_conjugates_slots(rng):
+    N = 256
+    slots = N // 2
+    m = (
+        np.random.default_rng(3).uniform(-1, 1, slots)
+        + 1j * np.random.default_rng(4).uniform(-1, 1, slots)
+    )
+    coeffs = codec.encode(m, rng=rng, scale=2**40, norm="forward")
+    conj = codec.conjugate_np(coeffs)
+    back = codec.decode(conj, scale=2**40, norm="forward")[:slots]
+    np.testing.assert_allclose(back, np.conj(m), atol=1e-7)
+
+
+def test_padding():
+    p = codec.padding([1.0, 2.0], 8)
+    assert p.shape == (8,)
+    np.testing.assert_array_equal(p[:2], [1.0, 2.0])
+    assert (p[2:] == 0).all()
+    with pytest.raises(ValueError):
+        codec.padding(np.zeros(9), 8)

@@ -1,0 +1,146 @@
+"""CSPRNG: RFC-7539 ChaCha20 vectors, sampler parity with python oracles."""
+
+import numpy as np
+import pytest
+
+from tiberate_tpu.rng.chacha20 import (
+    chacha20_block,
+    chacha20_block_oracle,
+    step_counter,
+)
+from tiberate_tpu.rng.csprng import Csprng
+from tiberate_tpu.rng.discrete_gaussian_sampler import (
+    build_CDT_binary_search_tree,
+    sample_oracle,
+)
+
+
+def test_chacha20_rfc7539_vector():
+    """RFC 7539 section 2.3.2 test vector."""
+    state = np.array(
+        [
+            0x61707865, 0x3320646E, 0x79622D32, 0x6B206574,
+            0x03020100, 0x07060504, 0x0B0A0908, 0x0F0E0D0C,
+            0x13121110, 0x17161514, 0x1B1A1918, 0x1F1E1D1C,
+            0x00000001, 0x09000000, 0x4A000000, 0x00000000,
+        ],
+        dtype=np.uint32,
+    )
+    expected = [
+        0xE4E7F110, 0x15593BD1, 0x1FDD0F50, 0xC47120A3,
+        0xC7F4D1C7, 0x0368C033, 0x9AAA2204, 0x4E6CD4C3,
+        0x466482D2, 0x09AA9F07, 0x05D7C214, 0xA2028BD9,
+        0xD19C12B5, 0xB94E16DE, 0xE883D0CB, 0x4E3C50A2,
+    ]
+    out = np.asarray(chacha20_block(state[None, :]))[0]
+    assert [int(x) for x in out] == expected
+    # python oracle agrees too
+    assert chacha20_block_oracle([int(x) for x in state]) == expected
+
+
+def test_counter_step_carry():
+    import jax.numpy as jnp
+
+    state = np.zeros((2, 16), dtype=np.uint32)
+    state[0, 12] = 0xFFFFFFFF
+    state[1, 12] = 5
+    out = np.asarray(step_counter(jnp.array(state), 1))
+    assert out[0, 12] == 0 and out[0, 13] == 1
+    assert out[1, 12] == 6 and out[1, 13] == 0
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return Csprng(
+        num_coefs=256, num_channels=[4], num_repeating_channels=2, seed=17
+    )
+
+
+def test_randbytes_matches_oracle(rng):
+    state_before = np.asarray(rng.states).copy()
+    words = np.asarray(rng.randbytes())
+    # Row 0 must equal the python oracle applied to its initial state.
+    exp = chacha20_block_oracle([int(x) for x in state_before[0]])
+    assert [int(x) for x in words[0]] == exp
+    # Counters stepped by inc on generated rows.
+    state_after = np.asarray(rng.states)
+    assert (
+        state_after[0, 12] == state_before[0, 12] + rng.inc
+    )
+
+
+def test_randint_range_and_formula(rng):
+    q = (1 << 62) - 57
+    state_before = np.asarray(rng.states).copy()
+    out = np.asarray(rng.randint(amax=[q] * 4, shift=0, repeats=0))
+    assert out.shape == (4, 256)
+    assert (out >= 0).all() and (out < q).all()
+    # check first 4 samples against the oracle formula
+    w = chacha20_block_oracle([int(x) for x in state_before[0]])
+    for i in range(4):
+        u128 = (
+            (w[4 * i] << 32) | w[4 * i + 1]
+            | (w[4 * i + 3] << 64) | (w[4 * i + 2] << 96)
+        )
+        exp = (u128 * q) >> 128
+        assert int(out[0, i]) == exp
+
+
+def test_randint_ternary(rng):
+    out = np.asarray(rng.randint(amax=3, shift=-1, repeats=1))
+    assert out.shape == (1, 256)
+    assert set(np.unique(out)) <= {-1, 0, 1}
+
+
+def test_repeating_channels_are_deterministic():
+    """Two CSPRNGs with the same seed but different channel counts produce
+    identical repeating-channel streams (the cross-shard shared randomness
+    guarantee) when total layout matches."""
+    a = Csprng(num_coefs=64, num_channels=[4], num_repeating_channels=2,
+               seed=3, nonce=5)
+    b = Csprng(num_coefs=64, num_channels=[4], num_repeating_channels=2,
+               seed=3, nonce=5)
+    va = np.asarray(a.randint(amax=2, shift=0, repeats=1))
+    vb = np.asarray(b.randint(amax=2, shift=0, repeats=1))
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_discrete_gaussian_matches_oracle(rng):
+    state_before = np.asarray(rng.states).copy()
+    out = np.asarray(rng.discrete_gaussian(non_repeats=0, repeats=2))
+    assert out.shape == (2, 256)
+    btree, btree_size, depth = build_CDT_binary_search_tree()
+    # verify first row of states
+    row = rng.total_num_channels * rng.L  # first repeating row
+    w = chacha20_block_oracle([int(x) for x in state_before[row]])
+    for i in range(4):
+        x_low = (w[4 * i] << 32) | w[4 * i + 1]
+        x_high = (w[4 * i + 2] << 32) | w[4 * i + 3]
+        exp = sample_oracle(x_high, x_low, btree, depth)
+        assert int(out[0, i]) == exp
+
+
+def test_discrete_gaussian_distribution():
+    big = Csprng(num_coefs=2**12, num_channels=[1],
+                 num_repeating_channels=2, seed=11)
+    out = np.asarray(big.discrete_gaussian(non_repeats=0, repeats=2)).ravel()
+    assert abs(out.mean()) < 0.3
+    assert abs(out.std() - 3.2) < 0.3
+    assert np.abs(out).max() <= 31
+
+
+def test_randround(rng):
+    coef = np.array([0.0, 1.25, -2.75, 5.0, -3.0, 1e9 + 0.5] + [0.1] * 250)
+    out = rng.randround(coef.copy())
+    assert out.dtype == np.int64
+    d = out - np.floor(np.abs(coef)) * np.sign(coef)
+    # each result is floor(|x|) or floor(|x|)+1 with matching sign
+    assert np.all(np.abs(out - coef) < 1.0 + 1e-9)
+
+
+def test_randround_is_unbiased():
+    big = Csprng(num_coefs=2**14, num_channels=[1],
+                 num_repeating_channels=2, seed=13)
+    coef = np.full(2**14, 0.25)
+    out = big.randround(coef)
+    assert abs(out.mean() - 0.25) < 0.02
