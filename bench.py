@@ -1,0 +1,121 @@
+"""Headline benchmark: cc_mult (incl. rescale + relinearize/key-switch)
+ciphertexts/second on one chip, logN=15 default preset.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured throughput over a single-chip HBM-roofline estimate
+(the reference publishes no numbers — BASELINE.md targets ">=90% of
+roofline"), so 1.0 == speed-of-light.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def _roofline_ct_per_s(N, C, C_sp, num_parts, hbm_gbps=819.0):
+    """Optimistic HBM-roofline for one fused cc_mult.
+
+    Counts the unavoidable HBM traffic assuming perfect on-chip fusion of
+    each NTT/elementwise chain (read + write of each [C, N] operand once
+    per pass, int64 = 8 B):
+
+      rescale x4:     4 * 2 * C * N
+      4 enter_ntt + tensor product + 3 intt (relin): ~ 7 * 2 * C * N
+      key switch:     per part: extend write + ntt pass + 2 ksk reads +
+                      2 accum  ~ num_parts * 6 * C_sp * N
+      P-division + epilogue: ~ 6 * C_sp * N
+    """
+    b = 8 * N * (
+        4 * 2 * C
+        + 7 * 2 * C
+        + num_parts * 6 * C_sp
+        + 6 * C_sp
+    )
+    return hbm_gbps * 1e9 / b
+
+
+def main():
+    preset = os.environ.get("TIBERATE_BENCH_PRESET", "logN15")
+    iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
+
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_cache_tiberate"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tiberate_tpu.engine import CkksEngine
+    from tiberate_tpu.parallel.sharded import make_mult_step
+
+    if preset == "toy":
+        from tiberate_tpu.config.toy import toy_config
+
+        cfg = toy_config(logN=8, num_scales=4, num_special_primes=2,
+                         scale_bits=30)
+        eng = CkksEngine(cfg, seed=7)
+    else:
+        eng = CkksEngine(preset, seed=7)
+
+    m1 = np.linspace(-1, 1, eng.num_slots)
+    m2 = np.cos(np.linspace(0, 3, eng.num_slots))
+    ct1 = eng.encodecrypt(m1)
+    ct2 = eng.encodecrypt(m2)
+    evk_parts = tuple(eng.evk.data)
+
+    step = jax.jit(make_mult_step(eng, level=0, pre_rescale=True))
+    args = (ct1.data[0], ct1.data[1], ct2.data[0], ct2.data[1], evk_parts)
+
+    out = step(*args)
+    jax.block_until_ready(out)  # compile + warmup
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    # correctness alongside latency, like the reference bench suite
+    from tiberate_tpu.typing import Ciphertext
+
+    ct_out = Ciphertext(
+        data=out, level=1, logN=eng.ckksCfg.logN, creator_hash=eng.hash
+    )
+    err = float(
+        np.abs(eng.decryptcode(ct_out, is_real=True) - m1 * m2).max()
+    )
+
+    P, S = eng.params.P, eng.params.S
+    work_level = 1
+    C = P - work_level
+    C_sp = C + S
+    num_parts = len(eng.params.parts[work_level])
+    roofline = _roofline_ct_per_s(eng.params.N, C, C_sp, num_parts)
+
+    value = 1.0 / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"cc_mult_{preset}_ct_per_s",
+                "value": round(value, 3),
+                "unit": "ciphertexts/s",
+                "vs_baseline": round(value / roofline, 4),
+                "extra": {
+                    "latency_ms": round(dt * 1e3, 3),
+                    "decrypt_max_err": err,
+                    "roofline_ct_per_s": round(roofline, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: engine cores compile once across pytest runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tiberate")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,0 +1,3 @@
+from tiberate_tpu.engine.ckks_engine import CkksEngine
+
+__all__ = ["CkksEngine"]
