@@ -1,0 +1,186 @@
+"""Extensions: MPC threshold protocols, packing, HE-NN, benchmarks, CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tiberate_tpu.config.toy import toy_config
+from tiberate_tpu.extension.mpc import CkksEngineMPCExtension
+from tiberate_tpu.extension.nn import HELinearFeatureWise
+from tiberate_tpu.extension.packing import FeatureWiseCTEncoding
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOL = 5e-4
+
+
+@pytest.fixture(scope="module")
+def mpc():
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=1,
+                     scale_bits=30)
+    return CkksEngineMPCExtension(cfg, seed=303, nonce=4, bias_guard=False)
+
+
+@pytest.fixture(scope="module")
+def parties(mpc):
+    sk1 = mpc._create_secret_key()
+    sk2 = mpc._create_secret_key()
+    pk1 = mpc.multiparty_create_public_key(sk1)
+    crs = mpc.multiparty_public_crs(pk1)
+    pk2 = mpc.multiparty_create_public_key(sk2, a=crs)
+    cpk = mpc.multiparty_create_collective_public_key([pk1, pk2])
+    return sk1, sk2, cpk
+
+
+def test_mpc_collective_encrypt_decrypt(mpc, parties):
+    sk1, sk2, cpk = parties
+    m = np.linspace(-1, 1, mpc.num_slots)
+    ct = mpc.encodecrypt(m, pk=cpk)
+    head = mpc.multiparty_decrypt_head(ct, sk1)
+    part = mpc.multiparty_decrypt_partial(ct, sk2)
+    out = mpc.multiparty_decrypt_fusion([head, part], level=0, is_real=True)
+    assert np.abs(out - m).max() < TOL
+
+
+def test_mpc_single_party_cannot_decrypt(mpc, parties):
+    """A single share must NOT reveal the message."""
+    sk1, sk2, cpk = parties
+    m = np.linspace(-1, 1, mpc.num_slots)
+    ct = mpc.encodecrypt(m, pk=cpk)
+    head = mpc.multiparty_decrypt_head(ct, sk1)
+    out = mpc.multiparty_decrypt_fusion([head], level=0, is_real=True)
+    assert np.abs(out - m).max() > 1.0  # garbage, not the message
+
+
+def test_mpc_collective_rotation(mpc, parties):
+    sk1, sk2, cpk = parties
+    delta = 1
+    rotk1 = mpc.multiparty_create_rotation_key(sk1, delta)
+    crs = mpc.generate_rotation_crs(rotk1)
+    rotk2 = mpc.multiparty_create_rotation_key(sk2, delta, a=crs)
+    crotk = mpc.multiparty_generate_rotation_key([rotk1, rotk2])
+
+    m = np.linspace(-1, 1, mpc.num_slots)
+    ct = mpc.encodecrypt(m, pk=cpk)
+    rot = mpc.rotate_single(ct, crotk)
+    head = mpc.multiparty_decrypt_head(rot, sk1)
+    part = mpc.multiparty_decrypt_partial(rot, sk2)
+    out = mpc.multiparty_decrypt_fusion([head, part], level=0, is_real=True)
+    assert np.abs(out - np.roll(m, delta)).max() < 50 * TOL
+
+
+# ----------------------------------------------------------------------
+# Packing + HE-NN.
+# ----------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def eng():
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=2,
+                     scale_bits=30)
+    return CkksEngine(cfg, seed=99, nonce=1)
+
+
+def test_packing_roundtrip_small(eng):
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 3, 8))
+    packed = FeatureWiseCTEncoding.encodecrypt(x, eng)
+    assert packed.metadata.logical_num_slots == 8
+    out = FeatureWiseCTEncoding.decryptcode(packed, eng)
+    assert out.shape == x.shape
+    assert np.abs(out - x).max() < TOL
+
+
+def test_packing_roundtrip_fold(eng):
+    """last dim > num_slots: folds into multiple cts per row."""
+    D = eng.num_slots * 2
+    x = np.random.default_rng(1).uniform(-1, 1, (2, D))
+    packed = FeatureWiseCTEncoding.encodecrypt(x, eng)
+    assert len(packed.cts[0]) == 2  # fold factor
+    out = FeatureWiseCTEncoding.decryptcode(packed, eng)
+    assert np.abs(out - x).max() < TOL
+
+
+def test_packed_ct_ops(eng):
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 8))
+    y = np.random.default_rng(3).uniform(-1, 1, (1, 8))
+    px = FeatureWiseCTEncoding.encodecrypt(x, eng)
+    py = FeatureWiseCTEncoding.encodecrypt(y, eng)
+    s = px + py
+    out = FeatureWiseCTEncoding.decryptcode(s, eng)
+    assert np.abs(out - (x + y)).max() < TOL
+    p = px * py
+    out = FeatureWiseCTEncoding.decryptcode(p, eng)
+    assert np.abs(out - x * y).max() < TOL
+
+
+def test_he_linear(eng):
+    dim = 8
+    rng = np.random.default_rng(4)
+    W = rng.uniform(-1, 1, (dim, dim))
+    b = rng.uniform(-1, 1, dim)
+    x = rng.uniform(-1, 1, (1, dim))
+
+    layer = HELinearFeatureWise(W, b, eng)
+    ct_in = FeatureWiseCTEncoding.encodecrypt(x, eng)
+    ct_out = layer(ct_in)
+    out = FeatureWiseCTEncoding.decryptcode(ct_out, eng)
+    expect = x @ W.T + b
+    assert out.shape == expect.shape
+    assert np.abs(out - expect).max() < 200 * TOL
+
+
+def test_he_linear_no_bias(eng):
+    dim = 8
+    rng = np.random.default_rng(5)
+    W = rng.uniform(-1, 1, (dim, dim))
+    x = rng.uniform(-1, 1, (1, dim))
+    layer = HELinearFeatureWise(W, None, eng)
+    out = FeatureWiseCTEncoding.decryptcode(
+        layer(FeatureWiseCTEncoding.encodecrypt(x, eng)), eng
+    )
+    assert np.abs(out - x @ W.T).max() < 200 * TOL
+
+
+# ----------------------------------------------------------------------
+# Benchmark framework + CLI.
+# ----------------------------------------------------------------------
+
+
+def test_benchmark_registry():
+    from tiberate_tpu.extension.benchmarks import benchreg
+
+    assert {"single_cmult", "single_pmult", "lat_of_each_level",
+            "linear_feature_wise"} <= set(benchreg)
+
+
+def test_benchmark_result_json():
+    from tiberate_tpu.extension.benchmarks import BenchmarkResult
+
+    res = BenchmarkResult(name="t")
+    res.add_scalar("a", 1.5, "ms")
+    res.add_series("s", [0, 1], [2.0, 3.0])
+    res.add_table("t", ["x", "y"], [[1, 2]])
+    res.add_distribution("d", [1, 2, 3])
+    j = res.to_json()
+    assert len(j["metrics"]) == 4
+    res.print_terminal()  # smoke
+
+
+def test_cli_version_and_list():
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, "-m", "tiberate_tpu", "version"],
+        env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0 and out.stdout.strip()
+
+    out = subprocess.run(
+        [sys.executable, "-m", "tiberate_tpu", "list-benchmarks"],
+        env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert out.returncode == 0
+    assert "single_cmult" in out.stdout

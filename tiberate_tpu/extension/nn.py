@@ -1,0 +1,152 @@
+"""HE-NN building blocks: encrypted linear layers over packed ciphertexts.
+
+Behavioral equivalent of the reference components
+(``tiberate/extension/benchmarks/components/``): a square-weight linear
+layer over feature-wise packed inputs, computed as
+
+    out[j] = sum_i x[i] * W[j, i]
+
+via per-row plaintext multiplication, log2(D) rotate-and-sum reduction,
+masking of every logical-slot-period, and a rotation into the output
+position (reference ``linear_feature_wise.py:25-484``).  Weight rows are
+cached as Plaintexts so repeated forwards reuse the per-level encode cache.
+"""
+
+import math
+
+import numpy as np
+
+from tiberate_tpu.extension.packing import (
+    FeatureWisePacking,
+    PackedCT,
+    PackingMetadata,
+)
+from tiberate_tpu.typing import Plaintext
+
+
+class HEModule:
+    """Interface for encrypted-inference modules
+    (reference ``components/interface.py``)."""
+
+    def forward(self, ct_in, **kwargs):
+        raise NotImplementedError
+
+    def __call__(self, ct_in, **kwargs):
+        return self.forward(ct_in, **kwargs)
+
+
+class HELinear(HEModule):
+    pass
+
+
+class HELayerNorm(HEModule):
+    """Interface placeholder, mirroring the reference (no implementation
+    ships there either; requires an HE reciprocal-sqrt approximation)."""
+
+
+class HELinearFeatureWise(HELinear):
+    """Square-weight linear layer, feature-wise packed input/output."""
+
+    def __init__(self, weight: np.ndarray, bias, engine):
+        weight = np.asarray(weight, dtype=np.float64)
+        assert weight.ndim == 2 and weight.shape[0] == weight.shape[1], (
+            f"square weight required, got {weight.shape}"
+        )
+        self.engine = engine
+        self.dim = weight.shape[0]
+        num_slots = engine.num_slots
+        self.logical = FeatureWisePacking.find_logical_num_slots(
+            num_slots, self.dim
+        )
+        self.fold = max(self.logical // num_slots, 1)
+
+        # Weight row j (the j-th output neuron's coefficients) packed the
+        # same way the input rows are.
+        packed_w = FeatureWisePacking.pack(
+            weight, num_slots, self.logical
+        )  # [dim, fold, num_slots]
+        self.weight_rows = [
+            [Plaintext(packed_w[j, f]) for f in range(self.fold)]
+            for j in range(self.dim)
+        ]
+
+        if bias is not None:
+            bias = np.asarray(bias, dtype=np.float64).reshape(-1)
+            assert bias.shape[0] == self.dim
+            packed_b = FeatureWisePacking.pack(
+                bias.reshape(1, -1), num_slots, self.logical
+            )[0]
+            self.bias_rows = [
+                Plaintext(packed_b[f]) for f in range(self.fold)
+            ]
+        else:
+            self.bias_rows = None
+
+        # Mask selecting every logical-period-th slot (the reduction drops
+        # the partial sum there), reference ``linear_feature_wise.py:62-75``.
+        period = min(self.logical, num_slots)
+        mask = np.zeros(num_slots)
+        mask[::period] = 1.0
+        self.mask = Plaintext(mask)
+        self.period = period
+
+    @classmethod
+    def from_weight(cls, weight, bias, engine):
+        return cls(weight, bias, engine)
+
+    def _reduce_row(self, ct):
+        """Rotate-and-sum so slot 0 holds the row dot-product."""
+        eng = self.engine
+        out = ct
+        for r in range(int(math.log2(self.period))):
+            rot = eng.rotate_single(out, eng.get_rotation_key(-(2**r)))
+            out = eng.cc_add(rot, out)
+        return out
+
+    def forward(self, ct_in: PackedCT, memory_save: bool = False) -> PackedCT:
+        eng = self.engine
+        num_slots = eng.num_slots
+        out_rows = []
+        for row_cts in ct_in.cts:  # each logical input row (list of folds)
+            acc = None  # accumulated output row, per fold position
+            for j in range(self.dim):
+                # partial = sum over folds of <x_f, w_jf>
+                partial = None
+                for f in range(self.fold):
+                    prod = eng.pc_mult(
+                        self.weight_rows[j][f], row_cts[f]
+                    )
+                    partial = (
+                        prod if partial is None
+                        else eng.cc_add(partial, prod)
+                    )
+                summed = self._reduce_row(partial)
+                masked = eng.pc_mult(self.mask, summed)
+                # place the scalar at output position j
+                f_out, s_out = divmod(j, num_slots)
+                if s_out:
+                    masked = eng.rotate_single(
+                        masked, eng.get_rotation_key(s_out)
+                    )
+                if acc is None:
+                    acc = [None] * self.fold
+                acc[f_out] = (
+                    masked if acc[f_out] is None
+                    else eng.cc_add(acc[f_out], masked)
+                )
+            if self.bias_rows is not None:
+                acc = [
+                    eng.pc_add(self.bias_rows[f], acc[f])
+                    for f in range(self.fold)
+                ]
+            out_rows.append(acc)
+
+        return PackedCT(
+            cts=out_rows,
+            metadata=PackingMetadata(
+                original_shape=ct_in.metadata.original_shape,
+                logical_num_slots=self.logical,
+                packed_by=FeatureWisePacking,
+                encoded_by=ct_in.metadata.encoded_by,
+            ),
+        )

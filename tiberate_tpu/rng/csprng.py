@@ -42,7 +42,9 @@ from tiberate_tpu.rng.discrete_gaussian_sampler import (
 
 U32 = jnp.uint32
 U64 = jnp.uint64
-M32 = jnp.uint64(0xFFFFFFFF)
+# numpy scalar: module import must not create device arrays (backend may
+# not exist yet in CLI contexts); jnp ops accept numpy operands.
+M32 = np.uint64(0xFFFFFFFF)
 
 
 def _umul64hi(a, b):

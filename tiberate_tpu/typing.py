@@ -24,17 +24,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Process-wide default-engine registry (per logN), the equivalent of the
-# reference's vdtoys registry + CkksEngine.__default (typing.py:13,262-265).
+# Process-wide default-engine registry, the equivalent of the reference's
+# vdtoys registry + CkksEngine.__default (typing.py:13,262-265).  Unlike the
+# reference (first-engine-per-logN wins, silently mis-dispatching when two
+# engines share a logN), data structures carry their creator_hash and
+# dispatch to the exact engine that made them when it is still alive.
 _default_engines: dict[int, Any] = {}
+_engines_by_hash: dict[str, Any] = {}
 
 
 def register_default_engine(logN: int, engine, overwrite=False):
     if overwrite or logN not in _default_engines:
         _default_engines[logN] = engine
+    h = getattr(engine, "hash", None)
+    if h is not None:
+        _engines_by_hash[h] = engine
 
 
-def get_default_engine(logN: int):
+def get_default_engine(logN: int, creator_hash=None):
+    if creator_hash is not None and creator_hash in _engines_by_hash:
+        return _engines_by_hash[creator_hash]
     if logN not in _default_engines:
         raise RuntimeError(
             f"No default engine for logN {logN}. Create an engine for this "
@@ -178,7 +187,9 @@ class DataStruct:
 
     @property
     def _default_engine(self):
-        return get_default_engine(self.misc["logN"])
+        return get_default_engine(
+            self.misc["logN"], self.misc.get("creator_hash")
+        )
 
 
 # ================== #
