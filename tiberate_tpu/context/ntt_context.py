@@ -42,7 +42,12 @@ def _col(vals):
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class LevelPack:
-    """Everything the kernels need for one (level, include_special) view."""
+    """Everything the kernels need for one (level, include_special) view.
+
+    ``tables`` (optional) carries the painted twiddle pairs of the fused
+    Pallas NTT kernels; when present, the engine's NTT helpers take the
+    Pallas path instead of the int64 jnp path.
+    """
 
     pack: ModPack           # ql/qh/kl/kh/_2q, [C, 1]
     psi: jax.Array          # [C, N] Montgomery-form bit-reversed twiddles
@@ -50,11 +55,12 @@ class LevelPack:
     Ninv: jax.Array         # [C, 1] N^-1 R mod q
     Rs: jax.Array           # [C, 1] R^2 mod q
     Rs_scale: jax.Array     # [C, 1] R^2 * scale mod q
+    tables: object = None   # pallas_ntt.NttTables | None
 
     def tree_flatten(self):
         return (
             (self.pack, self.psi, self.ipsi, self.Ninv, self.Rs,
-             self.Rs_scale),
+             self.Rs_scale, self.tables),
             None,
         )
 
@@ -74,6 +80,7 @@ class LevelPack:
             Ninv=self.Ninv[sl],
             Rs=self.Rs[sl],
             Rs_scale=self.Rs_scale[sl],
+            tables=None if self.tables is None else self.tables[sl],
         )
 
 
@@ -159,6 +166,7 @@ class CkksParams:
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
         )
         self._lp_cache = {}
+        self._pallas_enabled = False
 
         self.num_levels = cfg.num_scales  # usable multiplicative levels
 
@@ -244,6 +252,23 @@ class CkksParams:
             sl = slice(lvl, None) if special else slice(lvl, self.P)
             self._lp_cache[key] = self._full[sl]
         return self._lp_cache[key]
+
+    def enable_pallas_ntt(self):
+        """Attach the fused Pallas NTT tables (TPU, logN >= 14 only)."""
+        if self._pallas_enabled:
+            return
+        from tiberate_tpu.ops import pallas_ntt
+
+        tables = pallas_ntt.build_tables(
+            self.q, self.psi, self.ipsi, self.Ninv, self.Rs, self.logN
+        )
+        self._full = LevelPack(
+            pack=self.pack, psi=self.psi, ipsi=self.ipsi,
+            Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
+            tables=tables,
+        )
+        self._lp_cache = {}
+        self._pallas_enabled = True
 
     def base_lp(self) -> LevelPack:
         """The base-prime-only view (last ordinary channel)."""

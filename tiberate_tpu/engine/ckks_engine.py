@@ -62,14 +62,35 @@ from tiberate_tpu.utils.massive import decompose_rot_offsets
 
 
 def _enter_ntt(x, lp):
+    if lp.tables is not None:
+        from tiberate_tpu.ops import pallas_ntt
+
+        return pallas_ntt.ntt(x, lp.tables, enter=True)
     return ntt.enter_ntt(x, lp.Rs, lp.psi, lp.pack)
 
 
+def _ntt_plain(x, lp):
+    """Forward NTT of Montgomery-form input (no entry)."""
+    if lp.tables is not None:
+        from tiberate_tpu.ops import pallas_ntt
+
+        return pallas_ntt.ntt(x, lp.tables, enter=False)
+    return ntt.ntt(x, lp.psi, lp.pack)
+
+
 def _intt_exit(x, lp):
+    if lp.tables is not None:
+        from tiberate_tpu.ops import pallas_ntt
+
+        return pallas_ntt.intt(x, lp.tables, epilogue="exit")
     return ntt.intt_exit(x, lp.ipsi, lp.Ninv, lp.pack)
 
 
 def _intt_exit_reduce(x, lp):
+    if lp.tables is not None:
+        from tiberate_tpu.ops import pallas_ntt
+
+        return pallas_ntt.intt(x, lp.tables, epilogue="exit_reduce")
     return ntt.intt_exit_reduce(x, lp.ipsi, lp.Ninv, lp.pack)
 
 
@@ -219,7 +240,7 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
         plp = lp_ord[part.lo : part.hi]
         state = _pre_extend(a[part.lo : part.hi], part, plp)
         ext = _extend(state, part, lp_sp, lvl)
-        ext = ntt.ntt(ext, lp_sp.psi, lp_sp.pack)
+        ext = _ntt_plain(ext, lp_sp)
         t0 = mont.mont_mult(ext, k0[lvl:], lp_sp.pack)
         t1 = mont.mont_mult(ext, k1[lvl:], lp_sp.pack)
         if d0 is None:
@@ -448,6 +469,7 @@ class CkksEngine:
         norm: str = "forward",
         seed=None,
         nonce=None,
+        use_pallas_ntt: bool | None = None,
     ):
         if ckks_config is None:
             ckks_config = Preset.logN15
@@ -463,6 +485,18 @@ class CkksEngine:
         self.params = CkksParams(self.ckksCfg)
         self.montCtx = self.params.montCtx
         self.rnsPart = self.params.rnsPart
+
+        # Fused Pallas NTT kernels (TPU, logN >= 14): bit-correct and ~1.4x
+        # the XLA path standalone, but inside the fully-fused cc_mult
+        # pipeline XLA's op fusion wins back the difference (pallas_call is
+        # a fusion barrier), so the int64 jnp path stays the default.  The
+        # VPU is the intrinsic ceiling for 62-bit butterflies either way;
+        # the MXU matmul-form NTT is the chartered next big step.
+        if use_pallas_ntt is None:
+            use_pallas_ntt = False
+        self.use_pallas_ntt = bool(use_pallas_ntt) and self.ckksCfg.logN >= 14
+        if self.use_pallas_ntt:
+            self.params.enable_pallas_ntt()
 
         self.rng = Csprng(
             num_coefs=self.ckksCfg.N,
@@ -1090,7 +1124,7 @@ class CkksEngine:
             self.params.N, codec.rotate_leap(delta, self.params.N)
         )
         rotated = _perm_core(sk_ord, jnp.asarray(src), jnp.asarray(sign))
-        rotated = ntt.ntt(rotated, lp.psi, lp.pack)
+        rotated = _ntt_plain(rotated, lp)
         # Only ordinary rows are consumed by ksk creation; pad specials
         # with the (unused) original rows to keep shapes.
         full = sk.data.at[:P].set(rotated)
@@ -1170,7 +1204,7 @@ class CkksEngine:
             self.params.N, codec.conjugate_leap(self.params.N)
         )
         conj = _perm_core(sk_ord, jnp.asarray(src), jnp.asarray(sign))
-        conj = ntt.ntt(conj, lp.psi, lp.pack)
+        conj = _ntt_plain(conj, lp)
         full = sk.data.at[:P].set(conj)
         sk_conj = SecretKey(
             data=full,
@@ -1541,6 +1575,10 @@ class CkksEngine:
 def _intt_exit_to_mont(x, lp):
     """iNTT keeping the Montgomery factor (the reference applies plain
     ``intt`` to rotate key material, ``ckks_engine.py:1408-1411``)."""
+    if lp.tables is not None:
+        from tiberate_tpu.ops import pallas_ntt
+
+        return pallas_ntt.intt(x, lp.tables, epilogue="mont")
     return ntt.intt(x, lp.ipsi, lp.Ninv, lp.pack)
 
 

@@ -148,7 +148,7 @@ def build_tables(q_list, psi_mont, ipsi_mont, Ninv, Rs, logN) -> NttTables:
         cons[c, 11] = q >> 32
 
     return NttTables(
-        cons=jnp.array(cons),
+        cons=jnp.array(cons).reshape(C, 1, N_CONST),
         f1lo=jnp.array(f_lo[:, :n1]), f1hi=jnp.array(f_hi[:, :n1]),
         f2lo=jnp.array(f_lo[:, n1:]), f2hi=jnp.array(f_hi[:, n1:]),
         i1lo=jnp.array(i_lo[:, :n1]), i1hi=jnp.array(i_hi[:, :n1]),
@@ -163,10 +163,11 @@ def build_tables(q_list, psi_mont, ipsi_mont, Ninv, Rs, logN) -> NttTables:
 
 
 def _consts(cref):
+    g = lambda k: cref[0, 0, k]
     return dict(
-        ql=cref[0, 0], qh=cref[0, 1], kl=cref[0, 2], kh=cref[0, 3],
-        q2lo=cref[0, 4], q2hi=cref[0, 5], Rslo=cref[0, 6], Rshi=cref[0, 7],
-        Nlo=cref[0, 8], Nhi=cref[0, 9], qlo=cref[0, 10], qhi=cref[0, 11],
+        ql=g(0), qh=g(1), kl=g(2), kh=g(3),
+        q2lo=g(4), q2hi=g(5), Rslo=g(6), Rshi=g(7),
+        Nlo=g(8), Nhi=g(9), qlo=g(10), qhi=g(11),
     )
 
 
@@ -311,20 +312,28 @@ def _inv1_kernel(cref, xlo_ref, xhi_ref, tlo_ref, thi_ref,
 
 
 def _call(kernel, C, shapes_in, blocks_in, out_block, n_out=2, **kw):
-    """pallas_call helper with a (C,) grid and per-channel blocks."""
+    """pallas_call helper with a (C,) grid and per-channel blocks.
+
+    The first input block (the per-channel constant vector) goes to SMEM;
+    tensor blocks go to VMEM.
+    """
+    zero = np.int32(0)  # python 0 would trace as i64 under x64 mode
+
+    def spec(b, space):
+        return pl.BlockSpec(
+            b, lambda c, _b=b: (c,) + (zero,) * (len(_b) - 1),
+            memory_space=space,
+        )
+
     return pl.pallas_call(
         functools.partial(kernel, **kw),
         grid=(C,),
         in_specs=[
-            pl.BlockSpec(b, lambda c, _b=b: (c,) + (0,) * (len(_b) - 1),
-                         memory_space=pltpu.VMEM)
-            for b in blocks_in
+            spec(b, pltpu.SMEM if i == 0 else pltpu.VMEM)
+            for i, b in enumerate(blocks_in)
         ],
         out_specs=tuple(
-            pl.BlockSpec(out_block,
-                         lambda c, _b=out_block: (c,) + (0,) * (len(_b) - 1),
-                         memory_space=pltpu.VMEM)
-            for _ in range(n_out)
+            spec(out_block, pltpu.VMEM) for _ in range(n_out)
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((C,) + out_block[1:], jnp.uint32)
@@ -343,7 +352,7 @@ def ntt(x, tables: NttTables, enter: bool = False):
     logN = tables.logN
     N = 1 << logN
     R = N // LANES
-    lead = x.shape[:-1]
+    lead = x.shape[:-2]
     C = x.shape[-2]
     flat = x.reshape(-1, C, N)
     outs = []
@@ -356,7 +365,7 @@ def ntt(x, tables: NttTables, enter: bool = False):
         f1 = _call(
             _fwd1_kernel, C,
             None,
-            [(1, N_CONST), (1, R, LANES), (1, R, LANES),
+            [(1, 1, N_CONST), (1, R, LANES), (1, R, LANES),
              (1, n1, half), (1, n1, half)],
             (1, R, LANES), logN=logN, enter=enter,
         )
@@ -367,7 +376,7 @@ def ntt(x, tables: NttTables, enter: bool = False):
         f2 = _call(
             _fwd2_kernel, C,
             None,
-            [(1, N_CONST), (1, LANES, R), (1, LANES, R),
+            [(1, 1, N_CONST), (1, LANES, R), (1, LANES, R),
              (1, n2, half), (1, n2, half)],
             (1, LANES, R), logN=logN,
         )
@@ -386,7 +395,7 @@ def intt(x, tables: NttTables, epilogue: str = "mont"):
     logN = tables.logN
     N = 1 << logN
     R = N // LANES
-    lead = x.shape[:-1]
+    lead = x.shape[:-2]
     C = x.shape[-2]
     flat = x.reshape(-1, C, N)
     outs = []
@@ -400,7 +409,7 @@ def intt(x, tables: NttTables, epilogue: str = "mont"):
         i2 = _call(
             _inv2_kernel, C,
             None,
-            [(1, N_CONST), (1, LANES, R), (1, LANES, R),
+            [(1, 1, N_CONST), (1, LANES, R), (1, LANES, R),
              (1, n2, half), (1, n2, half)],
             (1, LANES, R), logN=logN,
         )
@@ -410,7 +419,7 @@ def intt(x, tables: NttTables, epilogue: str = "mont"):
         i1 = _call(
             _inv1_kernel, C,
             None,
-            [(1, N_CONST), (1, R, LANES), (1, R, LANES),
+            [(1, 1, N_CONST), (1, R, LANES), (1, R, LANES),
              (1, n1, half), (1, n1, half)],
             (1, R, LANES), logN=logN, epilogue=epilogue,
         )
