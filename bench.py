@@ -40,6 +40,7 @@ def _roofline_ct_per_s(N, C, C_sp, num_parts, hbm_gbps=819.0):
 def main():
     preset = os.environ.get("TIBERATE_BENCH_PRESET", "logN15")
     iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
+    batch = int(os.environ.get("TIBERATE_BENCH_BATCH", "8"))
 
     import numpy as np
 
@@ -50,6 +51,8 @@ def main():
         "jax_compilation_cache_dir", "/tmp/jax_cache_tiberate"
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
 
     from tiberate_tpu.engine import CkksEngine
     from tiberate_tpu.parallel.sharded import make_mult_step
@@ -69,23 +72,30 @@ def main():
     ct2 = eng.encodecrypt(m2)
     evk_parts = tuple(eng.evk.data)
 
-    step = jax.jit(make_mult_step(eng, level=0, pre_rescale=True))
-    args = (ct1.data[0], ct1.data[1], ct2.data[0], ct2.data[1], evk_parts)
+    # Throughput mode: a batch of independent ciphertext multiplies in one
+    # compiled program (the serving shape; saturates the VPU).
+    step = make_mult_step(eng, level=0, pre_rescale=True)
+    batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+    args = tuple(
+        jnp.stack([ct.data[i]] * batch)
+        for ct, i in ((ct1, 0), (ct1, 1), (ct2, 0), (ct2, 1))
+    )
 
-    out = step(*args)
+    out = batched(*args, evk_parts)
     jax.block_until_ready(out)  # compile + warmup
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(*args)
+        out = batched(*args, evk_parts)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters / batch  # per ciphertext
 
     # correctness alongside latency, like the reference bench suite
     from tiberate_tpu.typing import Ciphertext
 
     ct_out = Ciphertext(
-        data=out, level=1, logN=eng.ckksCfg.logN, creator_hash=eng.hash
+        data=(out[0][0], out[1][0]), level=1, logN=eng.ckksCfg.logN,
+        creator_hash=eng.hash,
     )
     err = float(
         np.abs(eng.decryptcode(ct_out, is_real=True) - m1 * m2).max()
@@ -107,7 +117,8 @@ def main():
                 "unit": "ciphertexts/s",
                 "vs_baseline": round(value / roofline, 4),
                 "extra": {
-                    "latency_ms": round(dt * 1e3, 3),
+                    "latency_ms_per_ct": round(dt * 1e3, 3),
+                    "batch": batch,
                     "decrypt_max_err": err,
                     "roofline_ct_per_s": round(roofline, 1),
                     "device": str(jax.devices()[0]),

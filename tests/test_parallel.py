@@ -63,3 +63,15 @@ def test_entry_compiles():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "entry ok" in out.stdout
+
+
+def test_rns_sharded_keyswitch():
+    """shard_map keyswitch over a 2-device 'rns' mesh is bit-exact vs the
+    unsharded path (subprocess: needs a multi-device CPU platform)."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "_rns_shard_driver.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bit-exact: True" in out.stdout

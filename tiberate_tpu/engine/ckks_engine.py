@@ -69,13 +69,18 @@ def _enter_ntt(x, lp):
     return ntt.enter_ntt(x, lp.Rs, lp.psi, lp.pack)
 
 
-def _ntt_plain(x, lp):
-    """Forward NTT of Montgomery-form input (no entry)."""
-    if lp.tables is not None:
+def _ntt_plain(x, lp, signed=False):
+    """Forward NTT of Montgomery-form input (no entry).
+
+    ``signed`` routes through the int64 path (key-material rotation feeds
+    sign-flipped representatives; the pair/pallas fast paths are
+    unsigned-only).
+    """
+    if lp.tables is not None and not signed:
         from tiberate_tpu.ops import pallas_ntt
 
         return pallas_ntt.ntt(x, lp.tables, enter=False)
-    return ntt.ntt(x, lp.psi, lp.pack)
+    return ntt.ntt(x, lp.psi, lp.pack, signed=signed)
 
 
 def _intt_exit(x, lp):
@@ -339,6 +344,10 @@ def _rescale_core(d, rescale_scale, lp_next, round_at, exact_rounding):
     if exact_rounding:
         rounder = (rescaler > round_at).astype(jnp.int64)
         data = data + rounder[None, :]
+    # REDC of a signed difference can land marginally below zero (> -q/4);
+    # normalize so ciphertexts keep the [0, q) invariant the unsigned fast
+    # paths (pair/pallas NTT) rely on.
+    data = mont.make_unsigned(data, lp_next.pack)
     return mont.reduce_2q(data, lp_next.pack)
 
 
@@ -404,7 +413,11 @@ def _add_scalar_core(ct0, scalar_col, lp):
 
 @jax.jit
 def _negate_core(d, lp):
-    return mont.make_signed(d * jnp.int64(-1), lp.pack)
+    """Negation normalized to [0, q) (the reference stores the signed
+    representative, ``ckks_engine.py:2086-2095``; same residue class, and
+    the unsigned invariant keeps the fast NTT paths valid)."""
+    s = mont.make_signed(d * jnp.int64(-1), lp.pack)
+    return mont.make_unsigned(s, lp.pack)
 
 
 @jax.jit
@@ -1124,7 +1137,7 @@ class CkksEngine:
             self.params.N, codec.rotate_leap(delta, self.params.N)
         )
         rotated = _perm_core(sk_ord, jnp.asarray(src), jnp.asarray(sign))
-        rotated = _ntt_plain(rotated, lp)
+        rotated = _ntt_plain(rotated, lp, signed=True)
         # Only ordinary rows are consumed by ksk creation; pad specials
         # with the (unused) original rows to keep shapes.
         full = sk.data.at[:P].set(rotated)
@@ -1204,7 +1217,7 @@ class CkksEngine:
             self.params.N, codec.conjugate_leap(self.params.N)
         )
         conj = _perm_core(sk_ord, jnp.asarray(src), jnp.asarray(sign))
-        conj = _ntt_plain(conj, lp)
+        conj = _ntt_plain(conj, lp, signed=True)
         full = sk.data.at[:P].set(conj)
         sk_conj = SecretKey(
             data=full,
