@@ -120,6 +120,12 @@ class CkksParams:
     """Host-built, device-resident parameter bundle for one CkksConfig."""
 
     def __init__(self, cfg: CkksConfig):
+        if cfg.buffer_bit_length != 62:
+            raise NotImplementedError(
+                "only the 62-bit buffer_bit_length mode is implemented; "
+                "the 30-bit mode is planned alongside the MXU NTT "
+                "(PERFORMANCE.md)"
+            )
         self.cfg = cfg
         self.montCtx = MontgomeryContext.from_ckks_config(cfg)
         self.num_ordinary_primes = cfg.num_scales + 1
