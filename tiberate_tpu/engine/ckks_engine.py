@@ -239,6 +239,9 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
     if exit_ntt:
         a = _intt_exit_reduce(a, lp_ord)
 
+    # Per-part chain (measured faster than stacking all parts into one
+    # [n_parts, C_sp, N] NTT: 23.1 vs 30.9 ms/ct on v5e — the stacked
+    # intermediates outgrow on-chip memory and spill).
     d0 = None
     d1 = None
     for part, (k0, k1) in zip(parts, ksk_parts):
