@@ -75,3 +75,17 @@ def test_rns_sharded_keyswitch():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "bit-exact: True" in out.stdout
+
+
+def test_coef_sharded_ntt():
+    """Coefficient-axis-sharded NTT (cross-shard butterfly exchange via
+    ppermute) is bit-exact vs the unsharded transform on an 8-device mesh."""
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "_coef_shard_driver.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=1500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NTT bit-exact: True" in out.stdout
+    assert "roundtrip bit-exact: True" in out.stdout
+    assert "collective-permute in HLO: True" in out.stdout
