@@ -129,4 +129,24 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — always emit the one JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        try:
+            # second attempt (tunnel hiccups are transient)
+            main()
+        except Exception as e2:  # noqa: BLE001
+            print(
+                json.dumps(
+                    {
+                        "metric": "cc_mult_ct_per_s",
+                        "value": 0,
+                        "unit": "ciphertexts/s",
+                        "vs_baseline": 0,
+                        "extra": {"error": str(e2)[:300]},
+                    }
+                )
+            )

@@ -65,3 +65,15 @@ def test_known_answer_determinism():
     b = CkksEngine("logN14", seed=1234, nonce=1)
     ct2 = b.encodecrypt(m)
     np.testing.assert_array_equal(d0, np.asarray(ct2.data[0]))
+
+
+def test_logN17_construction():
+    """The largest preset builds (params, psi banks, partitions)."""
+    from tiberate_tpu.config import CkksConfig
+    from tiberate_tpu.context.ntt_context import CkksParams
+
+    cfg = CkksConfig.parse("logN17")
+    assert cfg.N == 2**17 and cfg.num_special_primes == 6
+    params = CkksParams(cfg)
+    assert params.psi.shape == (len(cfg.q), cfg.N)
+    assert len(params.parts[0]) == params.rnsPart.num_partitions + 1
