@@ -22,8 +22,6 @@ This is the logN>=17 multi-host building block: with mesh =
 pairings and ICI inside a slice.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -31,7 +29,6 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 from tiberate_tpu.ops import mont
-from tiberate_tpu.ops.mont import ModPack
 
 
 def _butterfly_ct(U, V, S, pack):

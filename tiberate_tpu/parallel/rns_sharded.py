@@ -21,13 +21,11 @@ Requires the ordinary and with-special channel counts to divide the axis
 size (pad the prime chain or choose S accordingly).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from tiberate_tpu.engine.ckks_engine import _pre_extend
 from tiberate_tpu.ops import mont, ntt

@@ -9,8 +9,6 @@ at most as many steps as the pure power-of-2 decomposition
 import math
 from collections import deque
 
-import numpy as np
-
 
 def next_power_of_n(x: int, n: int):
     return n ** math.ceil(math.log(x, n))
