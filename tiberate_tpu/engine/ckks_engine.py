@@ -470,6 +470,29 @@ def _ksk_shard_core(pk0, Psk, lo, alpha, pack_part):
 # ======================================================================
 
 
+class _RotkCache:
+    """``engine.rotk`` view: subscripting generates keys on demand,
+    membership checks consult only the existing store."""
+
+    def __init__(self, eng):
+        self._eng = eng
+
+    def __getitem__(self, delta: int):
+        return self._eng.get_rotation_key(delta)
+
+    def __contains__(self, delta) -> bool:
+        return delta in self._eng._rotk_store
+
+    def keys(self):
+        return self._eng._rotk_store.keys()
+
+    def __iter__(self):
+        return iter(self._eng._rotk_store)
+
+    def __len__(self):
+        return len(self._eng._rotk_store)
+
+
 class CkksEngine:
     """CKKS engine over a single logical shard (mesh-shardable arrays).
 
@@ -638,12 +661,18 @@ class CkksEngine:
         self.__gk = gk
 
     @property
-    def rotk(self) -> dict:
-        return self.__rotk
+    def rotk(self) -> "_RotkCache":
+        """Rotation-key cache; ``engine.rotk[delta]`` generates on first
+        access (the reference's CachedDict, ``ckks_engine.py:360-368``)."""
+        return _RotkCache(self)
 
     @rotk.setter
-    def rotk(self, rotk: dict):
+    def rotk(self, rotk):
         self.__rotk = dict(rotk)
+
+    @property
+    def _rotk_store(self) -> dict:
+        return self.__rotk
 
     def get_rotation_key(self, delta: int) -> RotationKey:
         """Rotation-key cache with on-demand generation (the reference's
