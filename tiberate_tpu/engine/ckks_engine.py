@@ -25,6 +25,7 @@ the stats suite (sum/mean/cov/pow/sqrt/var/std/randn).
 """
 
 import functools
+import logging
 import math
 from hashlib import sha256
 from uuid import uuid4
@@ -54,6 +55,8 @@ from tiberate_tpu.typing import (
 )
 from tiberate_tpu.utils import encoding as codec
 from tiberate_tpu.utils.massive import decompose_rot_offsets
+
+logger = logging.getLogger("tiberate_tpu")
 
 # ======================================================================
 # Jitted cores.  LevelPack/PartPack ride through jit as pytrees; part
@@ -559,6 +562,11 @@ class CkksEngine:
         self.__conjk = None
 
         register_default_engine(self.ckksCfg.logN, self)
+        logger.info(
+            "CkksEngine %s ready: logN=%d levels=%d special=%d pallas=%s",
+            self.id[:8], self.ckksCfg.logN, self.num_levels,
+            self.ckksCfg.num_special_primes, self.use_pallas_ntt,
+        )
 
     # ------------------------------------------------------------------
     # Introspection.
@@ -625,6 +633,7 @@ class CkksEngine:
             if not self.allow_sk_gen:
                 raise RuntimeError("Secret key generation is disabled.")
             self.sk = self._create_secret_key()
+            logger.debug("created a new secret key")
         return self.__sk
 
     @sk.setter
@@ -650,6 +659,7 @@ class CkksEngine:
     def evk(self) -> EvaluationKey:
         if self.__evk is None:
             self.__evk = self._create_evk(self.sk)
+            logger.debug("created a new evaluation key")
         return self.__evk
 
     @evk.setter
@@ -690,6 +700,7 @@ class CkksEngine:
                     f"is disabled."
                 )
             self.__rotk[delta] = self._create_rotation_key(delta, sk=self.sk)
+            logger.debug("created rotation key for delta=%d", delta)
         return self.__rotk[delta]
 
     @property
