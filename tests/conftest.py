@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize registers the TPU-tunnel backend with
+# ``jax.config.update("jax_platforms", "axon,cpu")`` at interpreter start,
+# which overrides the environment variable — pin the config key itself or
+# every eager test op pays a ~26 ms tunnel round-trip.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: engine cores compile once across pytest runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tiberate")

@@ -57,7 +57,7 @@ def toy_config(
         message_bits=message_bits,
         q=q_chain,
         total_qbits=math.ceil(sum(math.log2(p) for p in q_chain)),
-        numpy_dtype=np.int64,
+        numpy_dtype=np.int32 if buffer_bit_length == 30 else np.int64,
         num_ordinary_primes=num_scales + 1,
     )
     cfg.__repr__ = lambda: f"toy_{logN}_{scale_bits}_{num_scales}"

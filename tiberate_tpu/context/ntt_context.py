@@ -35,8 +35,8 @@ from tiberate_tpu.ops import ntt as ntt_ops
 from tiberate_tpu.ops.mont import ModPack
 
 
-def _col(vals):
-    return jnp.array(np.array(vals, dtype=np.int64).reshape(-1, 1))
+def _col(vals, dtype=np.int64):
+    return jnp.array(np.array(vals, dtype=dtype).reshape(-1, 1))
 
 
 @jax.tree_util.register_pytree_node_class
@@ -45,8 +45,10 @@ class LevelPack:
     """Everything the kernels need for one (level, include_special) view.
 
     ``tables`` (optional) carries the painted twiddle pairs of the fused
-    Pallas NTT kernels; when present, the engine's NTT helpers take the
-    Pallas path instead of the int64 jnp path.
+    Pallas NTT kernels; ``mxu_fwd``/``mxu_inv`` (optional) carry the
+    matmul-form 4-step tables (``ops/mxu_ntt.py``).  When present, the
+    engine's NTT helpers prefer the MXU path, then Pallas, then the int64
+    jnp butterflies.
     """
 
     pack: ModPack           # ql/qh/kl/kh/_2q, [C, 1]
@@ -56,11 +58,13 @@ class LevelPack:
     Rs: jax.Array           # [C, 1] R^2 mod q
     Rs_scale: jax.Array     # [C, 1] R^2 * scale mod q
     tables: object = None   # pallas_ntt.NttTables | None
+    mxu_fwd: object = None  # mxu_ntt.MxuNttTables | None
+    mxu_inv: object = None  # mxu_ntt.MxuNttTables | None
 
     def tree_flatten(self):
         return (
             (self.pack, self.psi, self.ipsi, self.Ninv, self.Rs,
-             self.Rs_scale, self.tables),
+             self.Rs_scale, self.tables, self.mxu_fwd, self.mxu_inv),
             None,
         )
 
@@ -81,6 +85,8 @@ class LevelPack:
             Rs=self.Rs[sl],
             Rs_scale=self.Rs_scale[sl],
             tables=None if self.tables is None else self.tables[sl],
+            mxu_fwd=None if self.mxu_fwd is None else self.mxu_fwd[sl],
+            mxu_inv=None if self.mxu_inv is None else self.mxu_inv[sl],
         )
 
 
@@ -120,11 +126,10 @@ class CkksParams:
     """Host-built, device-resident parameter bundle for one CkksConfig."""
 
     def __init__(self, cfg: CkksConfig):
-        if cfg.buffer_bit_length != 62:
+        if cfg.buffer_bit_length not in (30, 62):
             raise NotImplementedError(
-                "only the 62-bit buffer_bit_length mode is implemented; "
-                "the 30-bit mode is planned alongside the MXU NTT "
-                "(PERFORMANCE.md)"
+                f"buffer_bit_length={cfg.buffer_bit_length}; the reference "
+                "supports 62 (int64) and 30 (int32) modes"
             )
         self.cfg = cfg
         self.montCtx = MontgomeryContext.from_ckks_config(cfg)
@@ -144,25 +149,28 @@ class CkksParams:
         self.S = S
         self.N = N
         self.logN = cfg.logN
+        self.buffer_bit_length = cfg.buffer_bit_length
+        self.dtype = np.int32 if cfg.buffer_bit_length == 30 else np.int64
+        col = lambda vals: _col(vals, self.dtype)
 
         # --- full-basis parameter arrays -------------------------------
-        self.pack = ModPack.from_q(q)
+        self.pack = ModPack.from_q(q, R_bits=cfg.buffer_bit_length)
         psi, ipsi = ntt_ops.make_psi_tables(q, cfg.logN)
         self.psi = jnp.array(
             np.array(
                 [[p * R % qi for p in row] for row, qi in zip(psi, q)],
-                dtype=np.int64,
+                dtype=self.dtype,
             )
         )
         self.ipsi = jnp.array(
             np.array(
                 [[p * R % qi for p in row] for row, qi in zip(ipsi, q)],
-                dtype=np.int64,
+                dtype=self.dtype,
             )
         )
-        self.Ninv = _col([pow(N, -1, qi) * R % qi for qi in q])
-        self.Rs = _col(self.montCtx.R_square)
-        self.Rs_scale = _col(
+        self.Ninv = col([pow(N, -1, qi) * R % qi for qi in q])
+        self.Rs = col(self.montCtx.R_square)
+        self.Rs_scale = col(
             [(Rsq * cfg.int_scale) % qi
              for Rsq, qi in zip(self.montCtx.R_square, q)]
         )
@@ -199,7 +207,7 @@ class CkksParams:
             m0 = q[lvl]
             dest = range(lvl + 1, P)
             self.rescale_scales.append(
-                _col([pow(m0, -1, q[i]) * R % q[i] for i in dest])
+                col([pow(m0, -1, q[i]) * R % q[i] for i in dest])
             )
 
         # --- keyswitch P-division constants ----------------------------
@@ -216,13 +224,13 @@ class CkksParams:
                 cover = dest[: len(dest) - P_ind - 1]
                 vals = [pow(Pj, -1, q[i]) * R % q[i] for i in cover]
                 vals += [0] * (P_ind + 1)
-                per_level.append(_col(vals))
+                per_level.append(col(vals))
             self.PiRs.append(per_level)
 
         # mont_PR[c] = P * R mod q_c over ordinary channels at level 0
         # (reference ckks_engine.py:222-237).
         P_prod = math.prod(P_primes)
-        self.mont_PR = _col([(P_prod * R) % q[i] for i in range(P)])
+        self.mont_PR = col([(P_prod * R) % q[i] for i in range(P)])
 
         # --- decode constants (reference ckks_engine.py:239-270) -------
         scale = cfg.scale
@@ -243,7 +251,7 @@ class CkksParams:
         ]
         self.base_prime = q[P - 1]
         self.final_scalar = [
-            _col([pow(fq, -1, self.base_prime) * R % self.base_prime])
+            col([pow(fq, -1, self.base_prime) * R % self.base_prime])
             for fq in self.final_q
         ]
 
@@ -275,6 +283,31 @@ class CkksParams:
         )
         self._lp_cache = {}
         self._pallas_enabled = True
+
+    def enable_mxu_ntt(self):
+        """Attach the matmul-form 4-step NTT tables (``ops/mxu_ntt``).
+
+        Unsigned transforms then run as int8 MXU limb contractions; the
+        signed key-material path keeps the radix-2 butterflies.
+        """
+        if getattr(self, "_mxu_enabled", False):
+            return
+        from tiberate_tpu.ops import mxu_ntt
+
+        fwd = mxu_ntt.build_tables(
+            self.q, self.logN, mont_R_bits=self.buffer_bit_length
+        )
+        inv = mxu_ntt.build_tables(
+            self.q, self.logN, mont_R_bits=self.buffer_bit_length,
+            inverse=True,
+        )
+        self._full = LevelPack(
+            pack=self.pack, psi=self.psi, ipsi=self.ipsi,
+            Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
+            tables=self._full.tables, mxu_fwd=fwd, mxu_inv=inv,
+        )
+        self._lp_cache = {}
+        self._mxu_enabled = True
 
     def base_lp(self) -> LevelPack:
         """The base-prime-only view (last ordinary channel)."""
@@ -327,7 +360,7 @@ class CkksParams:
             Y_scalar.append(pow(L[i], -1, m[i + 1]) * R % m[i + 1])
             if (i + 2) < alpha:
                 L_scalar.append(
-                    _col([(L[i] * R) % m[j] for j in range(i + 2, alpha)])
+                    _col([(L[i] * R) % m[j] for j in range(i + 2, alpha)], self.dtype)
                 )
 
         # L_enter over the full with-special basis at level 0 (sliced per
@@ -341,12 +374,12 @@ class CkksParams:
                 ]
                 for i in range(alpha - 1)
             ],
-            dtype=np.int64,
+            dtype=self.dtype,
         )[..., None]
 
         return PartPack(
             lo=local_lo, hi=local_lo + alpha, g0=glo,
-            Y_scalar=_col(Y_scalar),
+            Y_scalar=_col(Y_scalar, self.dtype),
             L_scalar=tuple(L_scalar),
             L_enter=jnp.array(L_enter),
         )

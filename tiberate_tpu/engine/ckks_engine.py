@@ -65,6 +65,10 @@ logger = logging.getLogger("tiberate_tpu")
 
 
 def _enter_ntt(x, lp):
+    if lp.mxu_fwd is not None:
+        from tiberate_tpu.ops import mxu_ntt
+
+        return mxu_ntt.ntt(x, lp.mxu_fwd, enter=True)
     if lp.tables is not None:
         from tiberate_tpu.ops import pallas_ntt
 
@@ -76,9 +80,13 @@ def _ntt_plain(x, lp, signed=False):
     """Forward NTT of Montgomery-form input (no entry).
 
     ``signed`` routes through the int64 path (key-material rotation feeds
-    sign-flipped representatives; the pair/pallas fast paths are
+    sign-flipped representatives; the MXU/pair/pallas fast paths are
     unsigned-only).
     """
+    if lp.mxu_fwd is not None and not signed:
+        from tiberate_tpu.ops import mxu_ntt
+
+        return mxu_ntt.ntt(x, lp.mxu_fwd, enter=False)
     if lp.tables is not None and not signed:
         from tiberate_tpu.ops import pallas_ntt
 
@@ -87,6 +95,10 @@ def _ntt_plain(x, lp, signed=False):
 
 
 def _intt_exit(x, lp):
+    if lp.mxu_inv is not None:
+        from tiberate_tpu.ops import mxu_ntt
+
+        return mxu_ntt.intt(x, lp.mxu_inv, epilogue="exit")
     if lp.tables is not None:
         from tiberate_tpu.ops import pallas_ntt
 
@@ -95,6 +107,12 @@ def _intt_exit(x, lp):
 
 
 def _intt_exit_reduce(x, lp):
+    if lp.mxu_inv is not None:
+        from tiberate_tpu.ops import mxu_ntt
+
+        return mont.reduce_2q(
+            mxu_ntt.intt(x, lp.mxu_inv, epilogue="exit"), lp.pack
+        )
     if lp.tables is not None:
         from tiberate_tpu.ops import pallas_ntt
 
@@ -114,7 +132,7 @@ def _encrypt_core(pt, dc_rns, e0, e1, v, pk0, pk1, lp: LevelPack):
     e0_t = mont.tile_unsigned(e0, pk)
     e1_t = mont.tile_unsigned(e1, pk)
     pt_t = mont.tile_unsigned(pt, pk)
-    pt_t = pt_t.at[:, 0].add(dc_rns)
+    pt_t = pt_t.at[:, 0].add(dc_rns.astype(pt_t.dtype))
     pt_t = mont.mont_enter(pt_t, lp.Rs_scale, pk)
     pt_t = mont.mont_reduce(pt_t, pk)
     pte0 = mont.mont_add(pt_t, e0_t, pk)
@@ -144,7 +162,7 @@ def _final_scale(pt, base_lp, final_scalar, rounding_half, base_at,
     scaled = mont.reduce_2q(scaled, bpk)
     scaled = mont.make_signed(scaled, bpk)
     if final_round:
-        rounder = (scaler > rounding_half).astype(jnp.int64)
+        rounder = (scaler > rounding_half).astype(scaled.dtype)
         scaled = scaled + rounder
     return scaled
 
@@ -348,7 +366,7 @@ def _rescale_core(d, rescale_scale, lp_next, round_at, exact_rounding):
     data = d[1:] - rescaler[None, :]
     data = mont.mont_mult(data, rescale_scale, lp_next.pack)
     if exact_rounding:
-        rounder = (rescaler > round_at).astype(jnp.int64)
+        rounder = (rescaler > round_at).astype(data.dtype)
         data = data + rounder[None, :]
     # REDC of a signed difference can land marginally below zero (> -q/4);
     # normalize so ciphertexts keep the [0, q) invariant the unsigned fast
@@ -371,7 +389,7 @@ def _cc_sub_core(a, b, lp):
 def _rotate_data_core(d, src, sign, lp):
     """Galois coefficient permutation + make_unsigned + reduce_2q
     (reference ``ckks_engine.py:1429-1450``)."""
-    out = sign[None, :] * d[..., src]
+    out = sign.astype(d.dtype)[None, :] * d[..., src]
     out = mont.make_unsigned(out, lp.pack)
     return mont.reduce_2q(out, lp.pack)
 
@@ -380,7 +398,7 @@ def _rotate_data_core(d, src, sign, lp):
 def _perm_core(d, src, sign):
     """Bare coefficient permutation (for key material, reference
     ``ckks_engine.py:1408-1411``)."""
-    return sign[None, :] * d[..., src]
+    return sign.astype(d.dtype)[None, :] * d[..., src]
 
 
 @jax.jit
@@ -422,7 +440,7 @@ def _negate_core(d, lp):
     """Negation normalized to [0, q) (the reference stores the signed
     representative, ``ckks_engine.py:2086-2095``; same residue class, and
     the unsigned invariant keeps the fast NTT paths valid)."""
-    s = mont.make_signed(d * jnp.int64(-1), lp.pack)
+    s = mont.make_signed(-d, lp.pack)
     return mont.make_unsigned(s, lp.pack)
 
 
@@ -512,6 +530,7 @@ class CkksEngine:
         seed=None,
         nonce=None,
         use_pallas_ntt: bool | None = None,
+        use_mxu_ntt: bool | None = None,
     ):
         if ckks_config is None:
             ckks_config = Preset.logN15
@@ -540,6 +559,22 @@ class CkksEngine:
         if self.use_pallas_ntt:
             self.params.enable_pallas_ntt()
 
+        # Matmul-form (4-step) NTT on the MXU: int8 limb contractions
+        # replace the VPU butterfly chains (ops/mxu_ntt.py).  Default: on
+        # for TPU backends at production ring sizes, off for CPU (the
+        # int64 butterflies are faster there and the tests exercise both).
+        if use_mxu_ntt is None:
+            try:
+                use_mxu_ntt = (
+                    jax.default_backend() not in ("cpu",)
+                    and self.ckksCfg.logN >= 12
+                )
+            except Exception:  # noqa: BLE001 — backend probing only
+                use_mxu_ntt = False
+        self.use_mxu_ntt = bool(use_mxu_ntt)
+        if self.use_mxu_ntt:
+            self.params.enable_mxu_ntt()
+
         self.rng = Csprng(
             num_coefs=self.ckksCfg.N,
             num_channels=[self.params.P],
@@ -563,9 +598,11 @@ class CkksEngine:
 
         register_default_engine(self.ckksCfg.logN, self)
         logger.info(
-            "CkksEngine %s ready: logN=%d levels=%d special=%d pallas=%s",
+            "CkksEngine %s ready: logN=%d levels=%d special=%d pallas=%s "
+            "mxu=%s",
             self.id[:8], self.ckksCfg.logN, self.num_levels,
             self.ckksCfg.num_special_primes, self.use_pallas_ntt,
+            self.use_mxu_ntt,
         )
 
     # ------------------------------------------------------------------
@@ -778,6 +815,7 @@ class CkksEngine:
             else:
                 amax = self.params.q[: self.params.P]
             a = self.rng.randint(amax=amax, repeats=repeats)
+        a = jnp.asarray(a).astype(self.params.dtype)
         sk_data = sk.data[:C]
         pk0 = _keygen_pk_core(e, a, sk_data, lp)
 
@@ -858,7 +896,7 @@ class CkksEngine:
         start = level
         pk0 = pk.data[0][start : start + C]
         pk1 = pk.data[1][start : start + C]
-        dc_rns = jnp.zeros((C,), dtype=jnp.int64)
+        dc_rns = jnp.zeros((C,), dtype=self.params.dtype)
 
         ct0, ct1 = _encrypt_core(
             jnp.asarray(pt), dc_rns, e0e1[0], e0e1[1], v, pk0, pk1, lp
@@ -939,7 +977,7 @@ class CkksEngine:
         include_special = pk.has_flag(FLAGS.INCLUDE_SPECIAL)
         lp = self._lp(level, include_special)
         C = lp.num_channels
-        dc_rns = np.zeros(C, dtype=np.int64)
+        dc_rns = np.zeros(C, dtype=self.params.dtype)
 
         if self.bias_guard:
             pt = codec.encode(
@@ -953,7 +991,8 @@ class CkksEngine:
             dc_scale = int(dc_integral) * int(self.ckksCfg.scale)
             dest = range(level, level + C)
             dc_rns = np.array(
-                [dc_scale % self.params.q[i] for i in dest], dtype=np.int64
+                [dc_scale % self.params.q[i] for i in dest],
+                dtype=self.params.dtype,
             )
             pt = self.rng.randround(pt * np.float64(self.ckksCfg.scale))
         else:
@@ -1421,7 +1460,8 @@ class CkksEngine:
         dest = range(dst_level, self.params.P)
         multiplier = jnp.array(
             np.array(
-                [(deviated_delta * R) % q[i] for i in dest], dtype=np.int64
+                [(deviated_delta * R) % q[i] for i in dest],
+                dtype=self.params.dtype,
             ).reshape(-1, 1)
         )
         lp = self._lp(dst_level, False)
@@ -1475,7 +1515,8 @@ class CkksEngine:
         dest = range(level, self.params.P)
         return jnp.array(
             np.array(
-                [values_per_prime[i] for i in dest], dtype=np.int64
+                [values_per_prime[i] for i in dest],
+                dtype=self.params.dtype,
             ).reshape(-1, 1)
         )
 
@@ -1654,6 +1695,10 @@ class CkksEngine:
 def _intt_exit_to_mont(x, lp):
     """iNTT keeping the Montgomery factor (the reference applies plain
     ``intt`` to rotate key material, ``ckks_engine.py:1408-1411``)."""
+    if lp.mxu_inv is not None:
+        from tiberate_tpu.ops import mxu_ntt
+
+        return mxu_ntt.intt(x, lp.mxu_inv, epilogue="mont")
     if lp.tables is not None:
         from tiberate_tpu.ops import pallas_ntt
 

@@ -42,6 +42,22 @@ NBITS = 62
 LB_MASK = np.int64((1 << HALF_BITS) - 1)
 FB_MASK = np.int64((1 << NBITS) - 1)
 
+# 30-bit buffer_bit_length mode: int32 storage, 15-bit halves, R = 2^30 —
+# the same templated kernel the reference dispatches for int32 tensors
+# (``csrc/mont.cpp:17-24`` DISPATCH over scalar_t).  Constants are selected
+# from the operand dtype so every function below serves both modes.
+HALF_BITS_30 = 15
+NBITS_30 = 30
+LB_MASK_30 = np.int32((1 << HALF_BITS_30) - 1)
+FB_MASK_30 = np.int32((1 << NBITS_30) - 1)
+
+
+def _mode(ql):
+    """(half_bits, lb_mask, fb_mask) from the constant dtype."""
+    if ql.dtype == jnp.int32:
+        return HALF_BITS_30, LB_MASK_30, FB_MASK_30
+    return HALF_BITS, LB_MASK, FB_MASK
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
@@ -94,25 +110,26 @@ class ModPack:
 
     @classmethod
     def from_q(cls, q_list, R_bits=NBITS):
-        """Build from a list of python-int moduli."""
+        """Build from a list of python-int moduli (R_bits: 62 or 30)."""
         q = [int(x) for x in q_list]
         R = 1 << R_bits
+        half = R_bits // 2
+        mask = (1 << half) - 1
+        dt = np.int32 if R_bits == NBITS_30 else np.int64
         k = [(R * pow(R, -1, qi) - 1) // qi for qi in q]
-        col = lambda v: jnp.array(
-            np.array(v, dtype=np.int64).reshape(-1, 1)
-        )
+        col = lambda v: jnp.array(np.array(v, dtype=dt).reshape(-1, 1))
         return cls(
-            ql=col([qi & int(LB_MASK) for qi in q]),
-            qh=col([qi >> HALF_BITS for qi in q]),
-            kl=col([ki & int(LB_MASK) for ki in k]),
-            kh=col([ki >> HALF_BITS for ki in k]),
+            ql=col([qi & mask for qi in q]),
+            qh=col([qi >> half for qi in q]),
+            kl=col([ki & mask for ki in k]),
+            kh=col([ki >> half for ki in k]),
             _2q=col([qi << 1 for qi in q]),
         )
 
 
-def _split(x):
-    # Arithmetic right shift (int64), bitwise mask — exactly the CUDA split.
-    return x & LB_MASK, x >> HALF_BITS
+def _split(x, half=HALF_BITS, mask=LB_MASK):
+    # Arithmetic right shift, bitwise mask — exactly the CUDA split.
+    return x & mask, x >> half
 
 
 def mont_mult_raw(a, b, ql, qh, kl, kh):
@@ -120,29 +137,31 @@ def mont_mult_raw(a, b, ql, qh, kl, kh):
 
     Bit-identical to ``mont_mult_scalar_cuda_kernel``
     (``csrc/cuda/mont_cuda_kernel.cuh:11-60``) including behavior on signed
-    inputs.
+    inputs; the 30-bit mode runs the identical dataflow on int32 with
+    15-bit halves (what the reference's int32 template instantiates).
     """
-    al, ah = _split(a)
-    bl, bh = _split(b)
+    half, mask, fb = _mode(ql)
+    al, ah = _split(a, half, mask)
+    bl, bh = _split(b, half, mask)
 
     alpha = ah * bh
     beta = ah * bl + al * bh
     gamma = al * bl
 
-    gammal, gammah = _split(gamma)
-    betal, betah = _split(beta)
+    gammal, gammah = _split(gamma, half, mask)
+    betal, betah = _split(beta, half, mask)
 
     upper = gammal * kh
     upper = upper + (gammah + betal) * kl
-    upper = upper << HALF_BITS
-    s = (upper + gammal * kl) & FB_MASK
+    upper = upper << half
+    s = (upper + gammal * kl) & fb
 
-    sl, sh = _split(s)
+    sl, sh = _split(s, half, mask)
     sqb = sh * ql + sl * qh
-    sqbl, sqbh = _split(sqb)
+    sqbl, sqbh = _split(sqb, half, mask)
 
-    carry = (gamma + sl * ql) >> HALF_BITS
-    carry = (carry + betal + sqbl) >> HALF_BITS
+    carry = (gamma + sl * ql) >> half
+    carry = (carry + betal + sqbl) >> half
 
     return alpha + betah + sqbh + carry + sh * qh
 
@@ -153,15 +172,16 @@ def mont_reduce_raw(x, ql, qh, kl, kh):
     Bit-identical to ``mont_reduce_cuda_kernel``
     (``csrc/cuda/mont_cuda_kernel.cuh:90-137``).
     """
-    xl, xh = _split(x)
+    half, mask, fb = _mode(ql)
+    xl, xh = _split(x, half, mask)
     xkb = xh * kl + xl * kh
-    s = ((xkb << HALF_BITS) + xl * kl) & FB_MASK
+    s = ((xkb << half) + xl * kl) & fb
 
-    sl, sh = _split(s)
+    sl, sh = _split(s, half, mask)
     sqb = sh * ql + sl * qh
-    sqbl, sqbh = _split(sqb)
-    carry = (x + sl * ql) >> HALF_BITS
-    carry = (carry + sqbl) >> HALF_BITS
+    sqbl, sqbh = _split(sqb, half, mask)
+    carry = (x + sl * ql) >> half
+    carry = (carry + sqbl) >> half
 
     return sqbh + carry + sh * qh
 
@@ -223,9 +243,11 @@ def tile_unsigned(a, pack: ModPack):
     unsigned ``[..., C, N]`` RNS residues.
 
     Matches ``tile_unsigned_cuda`` (``csrc/cuda/mont_cuda.cu:340-356``).
+    RNG/codec outputs arrive as int64; cast to the pack's storage dtype
+    (int32 in the 30-bit mode, where inputs are < 2^28 by construction).
     """
     q = pack._2q >> 1
-    a = a[..., None, :]
+    a = jnp.asarray(a).astype(pack.ql.dtype)[..., None, :]
     tiled = jnp.broadcast_to(
         a, (*a.shape[:-2], pack.num_channels, a.shape[-1])
     )

@@ -132,7 +132,7 @@ def ntt(x, psi, pack: ModPack, signed: bool = False):
     representatives are also accepted — int64 path only).
     psi: [C, N] — bit-reversed ψ power series in Montgomery form.
     """
-    if not signed and _use_pair():
+    if not signed and _use_pair() and pack.ql.dtype == jnp.int64:
         return _ntt_pair(x, psi, pack)
     return _ntt_i64(x, psi, pack)
 
@@ -213,7 +213,7 @@ def intt(x, ipsi, Ninv, pack: ModPack):
     folds both the 1/N normalization and keeps the R factor, matching the
     reference ``intt_cuda`` (``csrc/cuda/ntt_cuda.cu:229-310``).
     """
-    if _use_pair():
+    if _use_pair() and pack.ql.dtype == jnp.int64:
         return _intt_pair(x, ipsi, Ninv, pack, epilogue="mont")
     x = intt_core(x, ipsi, pack)
     return mont.mont_mult(x, Ninv, pack)
@@ -223,20 +223,20 @@ def enter_ntt(x, Rs, psi, pack: ModPack):
     """mont_enter then forward NTT (reference ``enter_ntt_cuda``).
 
     Inputs are unsigned residues (tile_unsigned/reduce_2q outputs)."""
-    if _use_pair():
+    if _use_pair() and pack.ql.dtype == jnp.int64:
         return _ntt_pair(x, psi, pack, Rs=Rs)
     return _ntt_i64(mont.mont_enter(x, Rs, pack), psi, pack)
 
 
 def intt_exit(x, ipsi, Ninv, pack: ModPack):
     """iNTT then exit Montgomery (reference ``intt_exit_cuda``)."""
-    if _use_pair():
+    if _use_pair() and pack.ql.dtype == jnp.int64:
         return _intt_pair(x, ipsi, Ninv, pack, epilogue="exit")
     return mont.mont_reduce(intt(x, ipsi, Ninv, pack), pack)
 
 
 def intt_exit_reduce(x, ipsi, Ninv, pack: ModPack):
-    if _use_pair():
+    if _use_pair() and pack.ql.dtype == jnp.int64:
         return _intt_pair(x, ipsi, Ninv, pack, epilogue="exit_reduce")
     return mont.reduce_2q(intt_exit(x, ipsi, Ninv, pack), pack)
 
