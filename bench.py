@@ -55,7 +55,7 @@ def main():
     import jax.numpy as jnp
 
     from tiberate_tpu.engine import CkksEngine
-    from tiberate_tpu.parallel.sharded import make_mult_step
+    from tiberate_tpu.parallel.sharded import make_mult_step, mult_step_params
 
     if preset == "toy":
         from tiberate_tpu.config.toy import toy_config
@@ -75,19 +75,20 @@ def main():
     # Throughput mode: a batch of independent ciphertext multiplies in one
     # compiled program (the serving shape; saturates the VPU).
     step = make_mult_step(eng, level=0, pre_rescale=True)
-    batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None)))
+    prm = mult_step_params(eng, level=0, pre_rescale=True)
+    batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None, None)))
     args = tuple(
         jnp.stack([ct.data[i]] * batch)
         for ct, i in ((ct1, 0), (ct1, 1), (ct2, 0), (ct2, 1))
     )
 
-    out = batched(*args, evk_parts)
-    jax.block_until_ready(out)  # compile + warmup
+    out = batched(*args, evk_parts, prm)
+    np.asarray(out[0][0, 0, :4])  # compile + warmup (host fetch = real sync)
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = batched(*args, evk_parts)
-    jax.block_until_ready(out)
+        out = batched(*args, evk_parts, prm)
+    np.asarray(out[0][0, 0, :4])  # host fetch forces a real device sync
     dt = (time.perf_counter() - t0) / iters / batch  # per ciphertext
 
     # correctness alongside latency, like the reference bench suite

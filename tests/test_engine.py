@@ -189,6 +189,27 @@ def test_determinism():
                                   np.asarray(cb.data[1]))
 
 
+def test_determinism_seed_only():
+    """seed= without nonce= must still be fully deterministic (the nonce
+    derives from the seeded stream, not os.urandom)."""
+    cfg = toy_config(
+        logN=7, num_scales=3, num_special_primes=1, scale_bits=SCALE_BITS
+    )
+    a = CkksEngine(cfg, seed=77)
+    b = CkksEngine(cfg, seed=77)
+    assert a.rng.nonce == b.rng.nonce
+    m = np.linspace(-1, 1, a.num_slots)
+    ca = a.encodecrypt(m)
+    cb = b.encodecrypt(m)
+    np.testing.assert_array_equal(np.asarray(ca.data[0]),
+                                  np.asarray(cb.data[0]))
+    # two engines with different seeds must differ
+    c = CkksEngine(cfg, seed=78)
+    assert not np.array_equal(
+        np.asarray(ca.data[0]), np.asarray(c.encodecrypt(m).data[0])
+    )
+
+
 def test_save_load(tmp_path, eng, msgs):
     m1, _ = msgs
     ct = eng.encodecrypt(m1)

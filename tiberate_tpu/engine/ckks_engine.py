@@ -650,6 +650,12 @@ class CkksEngine:
 
         return jax.jit(make_mult_step(self, level, pre_rescale=True))
 
+    @functools.cache
+    def _fused_mult_prm(self, level: int):
+        from tiberate_tpu.parallel.sharded import mult_step_params
+
+        return mult_step_params(self, level, pre_rescale=True)
+
     def _lp_for(self, ds):
         return self._lp(ds.level, ds.has_flag(FLAGS.INCLUDE_SPECIAL))
 
@@ -1178,7 +1184,7 @@ class CkksEngine:
             step = self._fused_mult_step(a.level)
             ksk = (evk or self.evk).data
             ct0, ct1 = step(a.data[0], a.data[1], b.data[0], b.data[1],
-                            tuple(ksk))
+                            tuple(ksk), self._fused_mult_prm(a.level))
             return Ciphertext(
                 data=(ct0, ct1), level=a.level + 1, **self._meta()
             )

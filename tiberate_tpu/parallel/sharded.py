@@ -16,37 +16,52 @@ from tiberate_tpu.engine.ckks_engine import (
 )
 
 
-def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
-    """Returns (step_fn, example_args) computing a full cc_mult at `level`.
+def mult_step_params(eng, level: int = 0, pre_rescale: bool = True):
+    """The parameter pytree for :func:`make_mult_step`'s step function.
 
-    step_fn(a0, a1, b0, b1, ksk_parts) -> (ct0, ct1) at level+1 (when
-    pre_rescale) — a pure jittable function closing over engine params.
+    Passed as a jit ARGUMENT (not a closure constant): closed-over arrays
+    are baked into the HLO as literals, which at production ring sizes
+    makes the program megabytes-to-gigabytes large (and overflows the
+    remote-compile transport on tunneled TPUs).
+    """
+    work_level = level + 1 if pre_rescale else level
+    return dict(
+        rescale_scale=(
+            eng.params.rescale_scales[level] if pre_rescale else None
+        ),
+        lp_next=eng._lp(work_level, False) if pre_rescale else None,
+        lp_ord=eng._lp(work_level, False),
+        lp_sp=eng._lp(work_level, True),
+        parts=tuple(eng.params.parts[work_level]),
+        PiRs=tuple(eng.params.PiRs[work_level]),
+    )
+
+
+def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
+    """Returns step_fn(a0, a1, b0, b1, ksk_parts, prm) -> (ct0, ct1).
+
+    ``prm`` is the :func:`mult_step_params` pytree; pass it per call so
+    the tables ride as runtime buffers.  Fuses the reference's hottest
+    stack: rescale -> tensor-product -> relinearize/keyswitch.
     """
     S = eng.ckksCfg.num_special_primes
     if pre_rescale:
-        work_level = level + 1
-        lp_next = eng._lp(work_level, False)
-        rescale_scale = eng.params.rescale_scales[level]
         round_at = eng.params.q[level] // 2
-    else:
-        work_level = level
-    lp_ord = eng._lp(work_level, False)
-    lp_sp = eng._lp(work_level, True)
-    parts = tuple(eng.params.parts[work_level])
-    alloc = eng.params.parts_alloc[work_level]
-    PiRs = tuple(eng.params.PiRs[work_level])
+    work_level = level + 1 if pre_rescale else level
+    alloc = tuple(eng.params.parts_alloc[work_level])
 
-    def step(a0, a1, b0, b1, ksk_parts):
+    def step(a0, a1, b0, b1, ksk_parts, prm):
         if pre_rescale:
-            a0 = _rescale_core(a0, rescale_scale, lp_next, round_at, True)
-            a1 = _rescale_core(a1, rescale_scale, lp_next, round_at, True)
-            b0 = _rescale_core(b0, rescale_scale, lp_next, round_at, True)
-            b1 = _rescale_core(b1, rescale_scale, lp_next, round_at, True)
-        d0, d1, d2 = _ccmult_tensor_core(a0, a1, b0, b1, lp_ord)
+            rs, lpn = prm["rescale_scale"], prm["lp_next"]
+            a0 = _rescale_core(a0, rs, lpn, round_at, True)
+            a1 = _rescale_core(a1, rs, lpn, round_at, True)
+            b0 = _rescale_core(b0, rs, lpn, round_at, True)
+            b1 = _rescale_core(b1, rs, lpn, round_at, True)
+        d0, d1, d2 = _ccmult_tensor_core(a0, a1, b0, b1, prm["lp_ord"])
         ksk_sel = tuple(ksk_parts[g] for g in alloc)
         return _relin_core(
-            d0, d1, d2, ksk_sel, parts, lp_sp, lp_ord, PiRs,
-            work_level, S,
+            d0, d1, d2, ksk_sel, prm["parts"], prm["lp_sp"],
+            prm["lp_ord"], prm["PiRs"], work_level, S,
         )
 
     return step

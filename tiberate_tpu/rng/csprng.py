@@ -179,8 +179,17 @@ class Csprng:
     # ------------------------------------------------------------------
 
     def refresh(self, seed=None, nonce=None):
-        self.key = self._generate_words(32, seed)
-        self.nonce = self._generate_words(8, nonce)
+        if nonce is None and isinstance(seed, int):
+            # An explicit seed must be FULLY deterministic: draw key and
+            # nonce from one seeded stream (the first 8 words match what
+            # _generate_words(32, seed) produced, so explicit-nonce users
+            # are unaffected) instead of an os.urandom nonce.
+            words = np.random.default_rng(seed).integers(0, 2**32, 10)
+            self.key = [int(x) for x in words[:8]]
+            self.nonce = [int(x) for x in words[8:]]
+        else:
+            self.key = self._generate_words(32, seed)
+            self.nonce = self._generate_words(8, nonce)
         rows = (
             self.total_num_channels + self.num_repeating_channels
         ) * self.L
