@@ -66,20 +66,22 @@ def main():
     else:
         eng = CkksEngine(preset, seed=7)
 
-    m1 = np.linspace(-1, 1, eng.num_slots)
-    m2 = np.cos(np.linspace(0, 3, eng.num_slots))
-    ct1 = eng.encodecrypt(m1)
-    ct2 = eng.encodecrypt(m2)
+    rng = np.random.default_rng(7)
+    ms1 = [rng.uniform(-1, 1, eng.num_slots) for _ in range(batch)]
+    ms2 = [rng.uniform(-1, 1, eng.num_slots) for _ in range(batch)]
+    m1, m2 = ms1[0], ms2[0]
+    cts1 = [eng.encodecrypt(m) for m in ms1]
+    cts2 = [eng.encodecrypt(m) for m in ms2]
     evk_parts = tuple(eng.evk.data)
 
-    # Throughput mode: a batch of independent ciphertext multiplies in one
-    # compiled program (the serving shape; saturates the VPU).
+    # Throughput mode: a batch of DISTINCT independent ciphertext multiplies
+    # in one compiled program (the serving shape; saturates the VPU).
     step = make_mult_step(eng, level=0, pre_rescale=True)
     prm = mult_step_params(eng, level=0, pre_rescale=True)
     batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None, None)))
     args = tuple(
-        jnp.stack([ct.data[i]] * batch)
-        for ct, i in ((ct1, 0), (ct1, 1), (ct2, 0), (ct2, 1))
+        jnp.stack([ct.data[i] for ct in cts])
+        for cts, i in ((cts1, 0), (cts1, 1), (cts2, 0), (cts2, 1))
     )
 
     out = batched(*args, evk_parts, prm)

@@ -25,12 +25,27 @@ a = np.stack([rng.integers(0, q, eng.params.N)
 # unsharded reference
 c0_ref, c1_ref = eng.create_switcher(jnp.asarray(a), evk, level=0)
 
-# sharded over a 2-device rns mesh
-mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("rns",))
-switcher = make_rns_sharded_switcher(eng, 0, mesh, axis="rns")
-c0_s, c1_s = jax.jit(lambda x: switcher(x, tuple(evk.data)))(jnp.asarray(a))
+# sharded over 2- and 4-device rns meshes (C_ord=4 -> ro=2 and ro=1)
+ok = True
+for D in (2, 4):
+    mesh = Mesh(np.array(jax.devices()[:D]), axis_names=("rns",))
+    switcher = make_rns_sharded_switcher(eng, 0, mesh, axis="rns")
+    fn = jax.jit(lambda x: switcher(x, tuple(evk.data)))
+    c0_s, c1_s = fn(jnp.asarray(a))
+    ok0 = (np.asarray(c0_ref) == np.asarray(c0_s)).all()
+    ok1 = (np.asarray(c1_ref) == np.asarray(c1_s)).all()
+    ok = ok and ok0 and ok1
+    if D == 2:
+        sharding = c0_s.sharding
 
-ok0 = (np.asarray(c0_ref) == np.asarray(c0_s)).all()
-ok1 = (np.asarray(c1_ref) == np.asarray(c1_s)).all()
-print("rns-sharded keyswitch bit-exact:", bool(ok0 and ok1))
-print("shardings:", c0_s.sharding)
+# the epilogue is fully local: exactly ONE all-gather (the input state
+# broadcast), no other collective, in the compiled module
+hlo = fn.lower(jnp.asarray(a)).compile().as_text()
+n_ag = hlo.count("all-gather")
+n_other = sum(hlo.count(c) for c in
+              ("all-reduce", "reduce-scatter", "collective-permute",
+               "all-to-all"))
+print("rns-sharded keyswitch bit-exact:", bool(ok))
+print("collectives: all_gather=%d other=%d" % (n_ag, n_other))
+print("single-gather epilogue:", n_ag <= 2 and n_other == 0)
+print("shardings:", sharding)

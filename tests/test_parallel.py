@@ -65,6 +65,50 @@ def test_entry_compiles():
     assert "entry ok" in out.stdout
 
 
+def test_engine_mesh_mode():
+    """CkksEngine(mesh=...) shards keys + fresh ciphertexts over
+    (rns x coef) and every op stays bit-identical to the unsharded engine
+    (same seed => same ciphertexts; placement must not change the math)."""
+    import numpy as np
+
+    import jax
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+    from tiberate_tpu.parallel.mesh import make_mesh
+
+    assert jax.device_count() >= 4, "conftest provides 8 virtual devices"
+    mesh = make_mesh(4, rns=2, coef=2)
+
+    cfg = toy_config(logN=7, num_scales=4, num_special_primes=2,
+                     scale_bits=30)
+    ref = CkksEngine(cfg, seed=42, nonce=5)
+    eng = CkksEngine(cfg, seed=42, nonce=5, mesh=mesh)
+
+    m1 = np.linspace(-1, 1, eng.num_slots)
+    m2 = np.cos(np.linspace(0, 3, eng.num_slots))
+    ct1, ct2 = eng.encodecrypt(m1), eng.encodecrypt(m2)
+    rt1, rt2 = ref.encodecrypt(m1), ref.encodecrypt(m2)
+
+    # placement: sharded over the mesh, not single-device
+    assert len(ct1.data[0].sharding.device_set) == 4
+    # math: bit-identical to the unsharded engine
+    for a, b in zip(ct1.data + ct2.data, rt1.data + rt2.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out = eng.cc_mult(ct1, ct2)
+    ref_out = ref.cc_mult(rt1, rt2)
+    for a, b in zip(out.data, ref_out.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    dec = eng.decryptcode(out, is_real=True)
+    assert np.abs(dec - m1 * m2).max() < 1e-3
+
+    # rotation (galois path) works sharded too
+    rot = eng.rotate_offset(ct1, 3)
+    dec_rot = eng.decryptcode(rot, is_real=True)
+    assert np.abs(dec_rot - np.roll(m1, 3)).max() < 1e-3
+
+
 def test_rns_sharded_keyswitch():
     """shard_map keyswitch over a 2-device 'rns' mesh is bit-exact vs the
     unsharded path (subprocess: needs a multi-device CPU platform)."""
@@ -75,6 +119,8 @@ def test_rns_sharded_keyswitch():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "bit-exact: True" in out.stdout
+    # distributed epilogue: one input all_gather, no other collective
+    assert "single-gather epilogue: True" in out.stdout
 
 
 def test_coef_sharded_ntt():

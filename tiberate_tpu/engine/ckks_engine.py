@@ -531,6 +531,7 @@ class CkksEngine:
         nonce=None,
         use_pallas_ntt: bool | None = None,
         use_mxu_ntt: bool | None = None,
+        mesh=None,
     ):
         if ckks_config is None:
             ckks_config = Preset.logN15
@@ -574,6 +575,24 @@ class CkksEngine:
         self.use_mxu_ntt = bool(use_mxu_ntt)
         if self.use_mxu_ntt:
             self.params.enable_mxu_ntt()
+
+        # Engine-native sharding (the reference engine was natively
+        # multi-device, ``ckks_engine.py:988-1058``; here the equivalent is
+        # a device mesh): when ``mesh`` is given, every key and every fresh
+        # ciphertext is laid out with RNS channels over the 'rns' axis and
+        # polynomial coefficients over the 'coef' axis, and GSPMD inserts
+        # the collectives inside the existing jit cores.
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axes = mesh.axis_names
+            spec = PartitionSpec(
+                "rns" if "rns" in axes else None,
+                "coef" if "coef" in axes else None,
+            )
+            self._data_sharding = NamedSharding(mesh, spec)
 
         self.rng = Csprng(
             num_coefs=self.ckksCfg.N,
@@ -640,6 +659,35 @@ class CkksEngine:
 
     def _meta(self):
         return dict(logN=self.ckksCfg.logN, creator_hash=self.hash)
+
+    def _shard(self, x):
+        """Lay a [..., C, N] array onto the engine mesh (no-op without one).
+
+        Axes whose mesh extent does not divide the array dimension are
+        dropped from the placement spec (``device_put`` requires exact
+        divisibility); GSPMD still re-shards activations freely inside the
+        jitted ops, propagating from whichever operands ARE sharded.
+        """
+        if self.mesh is None or not hasattr(x, "ndim") or x.ndim < 2:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = self.mesh
+        names = []
+        for dim, axis in zip(x.shape[-2:], ("rns", "coef")):
+            ok = axis in mesh.axis_names and dim % mesh.shape[axis] == 0
+            names.append(axis if ok else None)
+        spec = PartitionSpec(*((None,) * (x.ndim - 2) + tuple(names)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def to_mesh(self, obj):
+        """Move a ciphertext/triplet's buffers onto the engine mesh."""
+        if self._data_sharding is None:
+            return obj
+        return type(obj)(
+            data=tuple(self._shard(d) for d in obj.data),
+            flags=obj._flags, level=obj.level, **obj.misc,
+        )
 
     def _lp(self, lvl, special=False):
         return self.params.lp(lvl, special)
@@ -788,7 +836,7 @@ class CkksEngine:
     def _create_secret_key(self, include_special: bool = True) -> SecretKey:
         ternary = self.rng.randint(amax=3, shift=-1, repeats=1)[0]
         lp = self._lp(0, include_special)
-        sk_data = _keygen_sk_core(ternary, lp)
+        sk_data = self._shard(_keygen_sk_core(ternary, lp))
         return SecretKey(
             data=sk_data,
             flags=(FLAGS.INCLUDE_SPECIAL if include_special else FLAGS(0))
@@ -826,7 +874,7 @@ class CkksEngine:
         pk0 = _keygen_pk_core(e, a, sk_data, lp)
 
         return PublicKey(
-            data=(pk0, a),
+            data=(self._shard(pk0), self._shard(a)),
             flags=(FLAGS.INCLUDE_SPECIAL if include_special else FLAGS(0))
             | FLAGS.MONTGOMERY_STATE
             | FLAGS.NTT_STATE,
@@ -860,7 +908,7 @@ class CkksEngine:
             pk0 = _ksk_shard_core(
                 pk0, Psk[part.lo : part.hi], part.g0, part.alpha, part_pack
             )
-            ksk_parts.append((pk0, pk1))
+            ksk_parts.append((self._shard(pk0), self._shard(pk1)))
 
         return KeySwitchKey(
             data=tuple(ksk_parts),
@@ -907,6 +955,7 @@ class CkksEngine:
         ct0, ct1 = _encrypt_core(
             jnp.asarray(pt), dc_rns, e0e1[0], e0e1[1], v, pk0, pk1, lp
         )
+        ct0, ct1 = self._shard(ct0), self._shard(ct1)
         return Ciphertext(
             data=(ct0, ct1),
             flags=(FLAGS.INCLUDE_SPECIAL if include_special else FLAGS(0)),
@@ -1016,6 +1065,7 @@ class CkksEngine:
             jnp.asarray(pt), jnp.asarray(dc_rns), e0e1[0], e0e1[1], v,
             pk0, pk1, lp,
         )
+        ct0, ct1 = self._shard(ct0), self._shard(ct1)
         return Ciphertext(
             data=(ct0, ct1),
             flags=(FLAGS.INCLUDE_SPECIAL if include_special else FLAGS(0)),

@@ -4,24 +4,26 @@ The explicit-collective realization of the reference's multi-GPU keyswitch
 (SURVEY.md §2.2 / §3.3): where the reference stages per-part basis-extension
 states through pinned host buffers to every GPU
 (``ckks_engine.py:988-1046``) and sums part products with python loops
-(``:1048-1058``), here the RNS-channel axis is sharded over a mesh axis and
+(``:1048-1058``), here the RNS-channel axis is sharded over a mesh axis:
 
 * the state broadcast becomes ONE ``all_gather`` of the ordinary channels
   (the mixed-radix digits are computed replicated — they are tiny),
-* each shard extends every part onto ITS OWN channel rows, NTTs them
-  locally (the coefficient axis is unsharded, so butterflies never cross
-  shards), multiplies with its shard of the ksk, and accumulates — the
-  part-sum needs no collective at all,
-* the successive P-division epilogue runs on a second ``all_gather``
-  (it touches every channel against the special rows; it is O(S) passes
-  and not worth distributing).
+* each shard extends every part onto its own ``C_ord/D`` ordinary rows
+  PLUS all ``S`` special rows (replicated: S is 1-2, so recomputing the
+  special rows everywhere is O(S*N) — far cheaper than any collective),
+  NTTs them locally (the coefficient axis is unsharded, so butterflies
+  never cross shards), multiplies with its rows of the ksk, and
+  accumulates — the part-sum needs no collective,
+* because every shard holds current copies of the S special rows, the
+  successive P-division epilogue runs fully distributed — each shard
+  divides its own rows — with NO further collective; per-shard epilogue
+  compute is O((C_ord/D + S) * N).
 
+Total collectives per switch: one all_gather of [C_ord/D, N] blocks.
 Collectives ride the ICI when the 'rns' axis is an intra-slice mesh axis.
-Requires the ordinary and with-special channel counts to divide the axis
-size (pad the prime chain or choose S accordingly).
+Requires the ordinary channel count to divide the axis size.
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental.shard_map import shard_map
@@ -32,17 +34,21 @@ from tiberate_tpu.ops import mont, ntt
 from tiberate_tpu.ops.mont import ModPack
 
 
-def _rows(arr, start, size):
-    return lax.dynamic_slice_in_dim(arr, start, size, axis=0)
+def _split_pack(pack: ModPack, cut):
+    lo = ModPack(ql=pack.ql[:cut], qh=pack.qh[:cut], kl=pack.kl[:cut],
+                 kh=pack.kh[:cut], _2q=pack._2q[:cut])
+    hi = ModPack(ql=pack.ql[cut:], qh=pack.qh[cut:], kl=pack.kl[cut:],
+                 kh=pack.kh[cut:], _2q=pack._2q[cut:])
+    return lo, hi
 
 
-def _pack_rows(pack: ModPack, start, size):
+def _cat_pack(a: ModPack, b: ModPack):
     return ModPack(
-        ql=_rows(pack.ql, start, size),
-        qh=_rows(pack.qh, start, size),
-        kl=_rows(pack.kl, start, size),
-        kh=_rows(pack.kh, start, size),
-        _2q=_rows(pack._2q, start, size),
+        ql=jnp.concatenate([a.ql, b.ql]),
+        qh=jnp.concatenate([a.qh, b.qh]),
+        kl=jnp.concatenate([a.kl, b.kl]),
+        kh=jnp.concatenate([a.kh, b.kh]),
+        _2q=jnp.concatenate([a._2q, b._2q]),
     )
 
 
@@ -50,8 +56,9 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns"):
     """Builds ``switcher(a, ksk_parts) -> (c0, c1)`` with 'rns'-sharded
     channels; bit-identical to ``eng.create_switcher`` output.
 
-    a: [C_ord, N] (coefficient domain, [0, q)); ksk_parts: the live parts'
-    (pk0, pk1) arrays (full [P+S, N] each).  Returns ordinary [C_ord, N].
+    a: [C_ord, N] (coefficient domain, [0, q)); ksk_parts: the engine ksk
+    ``.data`` tuple (full [P+S, N] arrays).  Returns ordinary [C_ord, N],
+    block-sharded over ``axis``.
     """
     lp_ord = eng._lp(level, False)
     lp_sp = eng._lp(level, True)
@@ -59,112 +66,143 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns"):
     alloc = eng.params.parts_alloc[level]
     PiRs = tuple(eng.params.PiRs[level])
     S = eng.params.S
+    Pn = eng.params.P  # ordinary prime count (global)
     C_ord = lp_ord.num_channels
     C_sp = lp_sp.num_channels
     D = mesh.shape[axis]
-    assert C_ord % D == 0 and C_sp % D == 0, (
-        f"channel counts ({C_ord} ord, {C_sp} sp) must divide the "
+    assert C_ord % D == 0, (
+        f"ordinary channel count {C_ord} must divide the "
         f"'{axis}' axis size {D}"
     )
     ro = C_ord // D
-    rs = C_sp // D
+    rb = ro + S
 
-    def shard_fn(a_blk, *ksk_flat):
-        i = lax.axis_index(axis)
-        ksk_parts = [
-            (ksk_flat[2 * k], ksk_flat[2 * k + 1])
-            for k in range(len(parts))
-        ]
+    # --- channel-axis-first table stacks (one P(axis) spec shards all) ---
+    pack_o, pack_s = _split_pack(lp_sp.pack, C_ord)
+    PiRs_st = jnp.stack(PiRs)  # [S, C_sp, 1]
+    ot = dict(
+        psi=lp_sp.psi[:C_ord], ipsi=lp_sp.ipsi[:C_ord],
+        Ninv=lp_sp.Ninv[:C_ord], Rs=lp_sp.Rs[:C_ord],
+        pack=pack_o,
+        PiRs=jnp.swapaxes(PiRs_st[:, :C_ord], 0, 1),  # [C_ord, S, 1]
+        L=tuple(
+            None if p.L_enter is None
+            else jnp.swapaxes(p.L_enter[:, level:Pn], 0, 1)  # [C_ord,a-1,1]
+            for p in parts
+        ),
+    )
+    st = dict(
+        psi=lp_sp.psi[C_ord:], ipsi=lp_sp.ipsi[C_ord:],
+        Ninv=lp_sp.Ninv[C_ord:], Rs=lp_sp.Rs[C_ord:],
+        pack=pack_s,
+        PiRs=PiRs_st[:, C_ord:],  # [S, S, 1]
+        L=tuple(
+            None if p.L_enter is None else p.L_enter[:, Pn:]  # [a-1, S, 1]
+            for p in parts
+        ),
+    )
+    # digit-recursion packs: alpha rows each, tiny — safe as constants
+    plp_packs = tuple(
+        lp_ord[part.lo : part.hi].pack for part in parts
+    )
 
+    def shard_fn(a_blk, ot, st, ksk_o, ksk_s):
         # 1. state broadcast: gather the ordinary channels once.
         a = lax.all_gather(a_blk, axis, tiled=True)  # [C_ord, N]
+        N = a.shape[-1]
 
-        # own with-special rows of the level parameters
-        sp_start = i * rs
-        own_pack = _pack_rows(lp_sp.pack, sp_start, rs)
-        own_psi = _rows(lp_sp.psi, sp_start, rs)
-        own_Rs = _rows(lp_sp.Rs, sp_start, rs)
+        # own rows = [ro ordinary] + [all S special] (replicated tail)
+        pack = _cat_pack(ot["pack"], st["pack"])
+        psi = jnp.concatenate([ot["psi"], st["psi"]])
+        ipsi = jnp.concatenate([ot["ipsi"], st["ipsi"]])
+        Ninv = jnp.concatenate([ot["Ninv"], st["Ninv"]])
+        Rs = jnp.concatenate([ot["Rs"], st["Rs"]])
+        PiRs_blk = jnp.concatenate(
+            [jnp.swapaxes(ot["PiRs"], 0, 1), st["PiRs"]], axis=1
+        )  # [S, rb, 1]
 
         d0 = None
         d1 = None
-        for part, (k0_blk, k1_blk) in zip(parts, ksk_parts):
-            plp = lp_ord[part.lo : part.hi]
+        for k, part in enumerate(parts):
             # 2. mixed-radix digits, replicated (alpha rows only)
-            state = _pre_extend(a[part.lo : part.hi], part, plp)
-            # 3. extend onto OWN channel rows, in Montgomery form
-            N = state.shape[-1]
-            ext = jnp.broadcast_to(state[0], (rs, N))
-            ext = mont.mont_enter(ext, own_Rs, own_pack)
-            for j in range(part.alpha - 1):
-                Y = jnp.broadcast_to(state[j + 1], (rs, N))
-                Lrow = _rows(part.L_enter[j][level:], sp_start, rs)
-                Y = mont.mont_mult(Y, Lrow, own_pack)
-                ext = mont.mont_add(ext, Y, own_pack)
+            class _Plp:  # _pre_extend only touches .pack
+                pack = plp_packs[k]
+
+            state = _pre_extend(a[part.lo : part.hi], part, _Plp)
+            # 3. extend onto own rows, in Montgomery form
+            ext = jnp.broadcast_to(state[0], (rb, N))
+            ext = mont.mont_enter(ext, Rs, pack)
+            if part.alpha > 1:
+                Lc = jnp.concatenate(
+                    [jnp.swapaxes(ot["L"][k], 0, 1), st["L"][k]], axis=1
+                )  # [alpha-1, rb, 1]
+                for j in range(part.alpha - 1):
+                    Y = jnp.broadcast_to(state[j + 1], (rb, N))
+                    Y = mont.mont_mult(Y, Lc[j], pack)
+                    ext = mont.mont_add(ext, Y, pack)
             # 4. local NTT (coefficient axis unsharded -> no exchange)
-            ext = ntt.ntt(ext, own_psi, own_pack)
-            t0 = mont.mont_mult(ext, k0_blk, own_pack)
-            t1 = mont.mont_mult(ext, k1_blk, own_pack)
+            ext = ntt.ntt(ext, psi, pack)
+            t0 = mont.mont_mult(
+                ext, jnp.concatenate([ksk_o[2 * k], ksk_s[2 * k]]), pack
+            )
+            t1 = mont.mont_mult(
+                ext,
+                jnp.concatenate([ksk_o[2 * k + 1], ksk_s[2 * k + 1]]),
+                pack,
+            )
             if d0 is None:
                 d0, d1 = t0, t1
             else:
-                d0 = mont.mont_add(d0, t0, own_pack)
-                d1 = mont.mont_add(d1, t1, own_pack)
+                d0 = mont.mont_add(d0, t0, pack)
+                d1 = mont.mont_add(d1, t1, pack)
 
-        # 5. epilogue on gathered rows (replicated compute, O(S) passes)
-        d0 = lax.all_gather(d0, axis, tiled=True)  # [C_sp, N]
-        d1 = lax.all_gather(d1, axis, tiled=True)
-        d0 = ntt.intt_exit_reduce(d0, lp_sp.ipsi, lp_sp.Ninv, lp_sp.pack)
-        d1 = ntt.intt_exit_reduce(d1, lp_sp.ipsi, lp_sp.Ninv, lp_sp.pack)
+        # 5. fully-local epilogue: iNTT own rows, then successive
+        # P-division — every shard holds current special rows, so each
+        # iteration is pure local row arithmetic.
+        d0 = ntt.intt_exit_reduce(d0, ipsi, Ninv, pack)
+        d1 = ntt.intt_exit_reduce(d1, ipsi, Ninv, pack)
 
-        N = d0.shape[-1]
-        d0 = d0.at[:C_ord].set(
-            mont.mont_enter(d0[:C_ord], lp_ord.Rs, lp_ord.pack)
-        )
-        d1 = d1.at[:C_ord].set(
-            mont.mont_enter(d1[:C_ord], lp_ord.Rs, lp_ord.pack)
-        )
+        Rs_o, pack_o_blk = ot["Rs"], ot["pack"]
+        d0 = d0.at[:ro].set(mont.mont_enter(d0[:ro], Rs_o, pack_o_blk))
+        d1 = d1.at[:ro].set(mont.mont_enter(d1[:ro], Rs_o, pack_o_blk))
         for P_ind in range(S):
-            PiRi = PiRs[P_ind]
+            PiRi = PiRs_blk[P_ind]
             for which in (0, 1):
                 d = d0 if which == 0 else d1
-                row = jnp.broadcast_to(d[C_sp - 1 - P_ind], (C_sp, N))
-                row = row.at[:C_ord].set(
-                    mont.mont_enter(row[:C_ord], lp_ord.Rs, lp_ord.pack)
+                row = jnp.broadcast_to(d[rb - 1 - P_ind], (rb, N))
+                row = row.at[:ro].set(
+                    mont.mont_enter(row[:ro], Rs_o, pack_o_blk)
                 )
-                d = mont.mont_sub(d, row, lp_sp.pack)
-                d = mont.mont_mult(d, PiRi, lp_sp.pack)
+                d = mont.mont_sub(d, row, pack)
+                d = mont.mont_mult(d, PiRi, pack)
                 if which == 0:
                     d0 = d
                 else:
                     d1 = d
 
         c0 = mont.reduce_2q(
-            mont.mont_reduce(d0[:C_ord], lp_ord.pack), lp_ord.pack
+            mont.mont_reduce(d0[:ro], pack_o_blk), pack_o_blk
         )
         c1 = mont.reduce_2q(
-            mont.mont_reduce(d1[:C_ord], lp_ord.pack), lp_ord.pack
+            mont.mont_reduce(d1[:ro], pack_o_blk), pack_o_blk
         )
-        # return own ordinary rows (output sharded like the input)
-        return (
-            _rows(c0, i * ro, ro),
-            _rows(c1, i * ro, ro),
-        )
-
-    n_parts = len(parts)
-    in_specs = (P(axis, None),) + (P(axis, None),) * (2 * n_parts)
-    out_specs = (P(axis, None), P(axis, None))
+        # own ordinary rows (output block-sharded like the input)
+        return c0, c1
 
     sharded = shard_map(
-        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
         check_rep=False,
     )
 
     def switcher(a, ksk_parts_full):
         """a: [C_ord, N]; ksk_parts_full: engine ksk .data tuple."""
-        flat = []
+        ksk_o, ksk_s = [], []
         for g in alloc:
             k0, k1 = ksk_parts_full[g]
-            flat += [k0[level:], k1[level:]]
-        return sharded(a, *flat)
+            ksk_o += [k0[level:Pn], k1[level:Pn]]
+            ksk_s += [k0[Pn:], k1[Pn:]]
+        return sharded(a, ot, st, tuple(ksk_o), tuple(ksk_s))
 
     return switcher
