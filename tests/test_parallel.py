@@ -123,6 +123,33 @@ def test_rns_sharded_keyswitch():
     assert "single-gather epilogue: True" in out.stdout
 
 
+def test_multihost_two_process():
+    """2-process jax.distributed CPU cluster: init, same-seed key parity,
+    external-key broadcast (host 0 -> all), per-host batch scatter, one
+    sharded op (covers parallel/multihost.py end-to-end)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    procs = [
+        subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "_multihost_driver.py"),
+             str(i), "2", str(port)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}: {err[-2000:]}"
+        assert f"multihost OK pidx={i}/2" in out
+
+
 def test_coef_sharded_ntt():
     """Coefficient-axis-sharded NTT (cross-shard butterfly exchange via
     ppermute) is bit-exact vs the unsharded transform on an 8-device mesh."""

@@ -54,15 +54,28 @@ def global_mesh(rns=None, coef=None, batch=1):
     )
 
 
-def broadcast_key(key_struct):
+def broadcast_key(key_struct, from_process: int = 0):
     """Make key material identical on all hosts.
 
-    With the counter-mode CSPRNG seeded identically this is a no-op (every
-    host regenerates the same keys); for externally loaded keys, replicate
-    through the addressable-device API.
+    With the counter-mode CSPRNG seeded identically this is free (every
+    host regenerates the same keys); for EXTERNALLY loaded keys (npz from
+    disk on one host — the reference's scheduler-to-worker key shipping,
+    ``multigpu.py:87-117``) the bytes cross DCN here: the source process
+    contributes the real arrays, every other process passes same-shaped
+    placeholders, and all return the source's values.
     """
-    from jax.sharding import NamedSharding, PartitionSpec
-    from jax.sharding import Mesh
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        key_struct = jax.tree_util.tree_map(
+            lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+            key_struct,
+        )
+        key_struct = multihost_utils.broadcast_one_to_all(
+            key_struct,
+            is_source=jax.process_index() == from_process,
+        )
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
     devs = jax.devices()
     mesh = Mesh(np.array(devs), axis_names=("all",))
@@ -74,13 +87,26 @@ def broadcast_key(key_struct):
 
 
 def scatter_batch(cts, mesh, axis="batch"):
-    """Scatter a host-local list of ciphertext arrays over the batch axis."""
+    """Scatter a host-local list of ciphertext arrays over the batch axis.
+
+    Single-process: a plain sharded placement.  Multi-process: each host
+    contributes ITS OWN local batch and the result is the global array
+    whose ``axis`` dimension concatenates all hosts' batches (the
+    reference's scheduler handing each worker its slice, inverted:
+    workers bring their slices and the mesh assembles the whole).
+    """
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *cts
     )
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            stacked, mesh, P(axis)
+        )
     sh = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), stacked
