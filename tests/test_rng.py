@@ -144,3 +144,25 @@ def test_randround_is_unbiased():
     coef = np.full(2**14, 0.25)
     out = big.randround(coef)
     assert abs(out.mean() - 0.25) < 0.02
+
+
+def test_randround_device_matches_host_formula():
+    """The jitted device rounding is bit-identical to the straight numpy
+    formula evaluated on the same ChaCha threshold stream."""
+    a = Csprng(num_coefs=256, num_channels=[1], num_repeating_channels=2,
+               seed=77, nonce=9)
+    twin = Csprng(num_coefs=256, num_channels=[1], num_repeating_channels=2,
+                  seed=77, nonce=9)
+    rng_np = np.random.default_rng(3)
+    coef = rng_np.uniform(-1e6, 1e6, 256)
+
+    out = np.asarray(a.randround(coef.copy()))
+
+    words, _ = twin._chacha_and_step(twin.states[: 256 // 16])
+    rand = np.asarray(words).reshape(-1).astype(np.int64)
+    sign = np.sign(coef)
+    abs_coef = np.abs(coef)
+    integ = np.floor(abs_coef)
+    ifrac = np.rint((abs_coef - integ) * np.float64(2**32)).astype(np.int64)
+    expect = (sign * (integ + (rand < ifrac))).astype(np.int64)
+    np.testing.assert_array_equal(out, expect)

@@ -172,6 +172,22 @@ class Csprng:
 
         self._chacha_and_step = _chacha_and_step
 
+        @jax.jit
+        def _randround_core(coef, words):
+            # Device-side stochastic rounding (the reference's fused
+            # ``randround_cuda.cu:6-53``): threshold-compare the fraction
+            # against one uint32 per coefficient, entirely on-device.
+            rand = words.reshape(-1).astype(jnp.int64)
+            sign = jnp.sign(coef)
+            abs_coef = jnp.abs(coef)
+            integ = jnp.floor(abs_coef)
+            frac = abs_coef - integ
+            ifrac = jnp.rint(frac * jnp.float64(2**32)).astype(jnp.int64)
+            rounded = (rand < ifrac).astype(jnp.float64)
+            return (sign * (integ + rounded)).astype(jnp.int64)
+
+        self._randround_core = _randround_core
+
         self.refresh(seed, nonce)
 
     # ------------------------------------------------------------------
@@ -273,23 +289,17 @@ class Csprng:
         return samples.reshape(-1, self.num_coefs)
 
     def randround(self, coef):
-        """Stochastically round f64 coefficients (host numpy array [N]).
+        """Stochastically round f64 coefficients [N] — on device.
 
         Uses the first N/16 state rows as the threshold stream, like the
         reference (``csprng.py:312-325``); round-to-nearest-even of
-        frac * 2^32 mirrors CUDA ``__double2ll_rn``.
+        frac * 2^32 mirrors CUDA ``__double2ll_rn``.  The compare/round
+        is a jitted device kernel (reference ``randround_cuda.cu:6-53``);
+        returns a device int64 array.
         """
-        coef = np.asarray(coef, dtype=np.float64)
+        coef = jnp.asarray(coef, dtype=jnp.float64)
         L16 = self.num_coefs // 16
         target = self.states[:L16]
         words, stepped = self._chacha_and_step(target)
         self.states = self.states.at[:L16].set(stepped)
-        rand = np.asarray(words).reshape(-1).astype(np.int64)
-
-        sign = np.sign(coef)
-        abs_coef = np.abs(coef)
-        integ = np.floor(abs_coef)
-        frac = abs_coef - integ
-        ifrac = np.rint(frac * np.float64(2**32)).astype(np.int64)
-        rounded = rand < ifrac
-        return (sign * (integ + rounded)).astype(np.int64)
+        return self._randround_core(coef, words)
