@@ -184,3 +184,77 @@ def test_cli_version_and_list():
     )
     assert out.returncode == 0
     assert "single_cmult" in out.stdout
+
+
+def test_vis_renders_all_metric_kinds(capsys):
+    from tiberate_tpu.extension.benchmarks import BenchmarkResult
+    from tiberate_tpu.extension.benchmarks.vis import (
+        render_line_plot,
+        visualize_benchmark_result,
+    )
+
+    res = BenchmarkResult(name="vis-test")
+    res.add_scalar("lat", 1.25, "ms")
+    res.add_series("levels", list(range(8)), [2.0 ** i for i in range(8)],
+                   "ms")
+    res.add_table("ops", ["op", "ms"], [["mult", 1.2], ["rot", 3.4]])
+    res.add_distribution("err", [1e-8, 2e-8, 3e-8])
+    visualize_benchmark_result(res)
+    out = capsys.readouterr().out
+    assert "vis-test" in out and "lat" in out and "mult" in out
+
+    plot = render_line_plot([0, 1, 2], [0.0, 1.0, 0.5], width=20, height=5,
+                            title="p")
+    lines = plot.splitlines()
+    assert any(ch >= "⠀" for line in lines for ch in line)  # braille
+    assert "p" in plot
+
+    assert "(no data)" in render_line_plot([], [], title="empty")
+
+
+def test_selector_state_machine():
+    from tiberate_tpu.extension.benchmarks.selector import (
+        DEFAULT_OPTIONS,
+        SelectorState,
+    )
+
+    st = SelectorState()
+    n_bench = len(st.bench_names)
+    assert n_bench >= 4
+    assert st.focus == 0 and st.bench_idx == 0
+
+    # bench pane navigation wraps like the reference list view
+    st.handle_key("DOWN")
+    assert st.bench_idx == 1
+    for _ in range(n_bench - 1):
+        st.handle_key("DOWN")
+    assert st.bench_idx == 0
+
+    # switching panes + option navigation
+    st.handle_key("RIGHT")
+    assert st.focus == 1
+    st.handle_key("DOWN")
+    assert st.option_idx == 1
+    assert st.current_option == list(DEFAULT_OPTIONS)[1]
+    assert st.option_description == DEFAULT_OPTIONS[st.current_option]
+
+    # switching benchmark resets options (reference update_option_list)
+    st.handle_key("LEFT")
+    st.handle_key("DOWN")
+    assert st.option_idx == 0
+
+    # run/quit actions
+    assert st.handle_key("ENTER") == "run"
+    assert st.handle_key("^R") == "run"
+    assert st.handle_key("q") == "quit"
+    assert st.handle_key("^Q") == "quit"
+
+    # descriptions exist for display
+    assert isinstance(st.bench_description, str)
+
+
+def test_selector_requires_tty():
+    from tiberate_tpu.extension.benchmarks.selector import run_selector
+
+    with pytest.raises(RuntimeError, match="TTY"):
+        run_selector()  # pytest captures stdout -> not a TTY

@@ -59,6 +59,19 @@ def main(argv=None):
                 return 2
             names = [args.name]
         else:
+            # Interactive: two-pane curses selector (reference
+            # cli/selector.py), falling back to a plain prompt off-TTY.
+            if sys.stdout.isatty() and sys.stdin.isatty():
+                from tiberate_tpu.extension.benchmarks.selector import (
+                    run_selector,
+                )
+
+                res = run_selector(iters=args.iters)
+                if res is not None and args.file:
+                    with open(args.file, "w") as f:
+                        json.dump([res.to_json()], f, indent=2)
+                    print(f"results written to {args.file}")
+                return 0
             names = sorted(benchreg)
             print("Available benchmarks:")
             for i, n in enumerate(names):
@@ -69,9 +82,13 @@ def main(argv=None):
 
         results = []
         for name in names:
+            from tiberate_tpu.extension.benchmarks.vis import (
+                visualize_benchmark_result,
+            )
+
             bench = benchreg[name]()
             res = bench.run(preset=args.preset, iters=args.iters)
-            res.print_terminal()
+            visualize_benchmark_result(res)
             results.append(res.to_json())
 
         if args.file:
