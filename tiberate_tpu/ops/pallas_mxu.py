@@ -1,0 +1,586 @@
+"""Fused matmul-form (4-step) NTT as a single Pallas TPU kernel.
+
+``ops/mxu_ntt.py`` evaluates the two twiddle matmuls as XLA ``dot_general``
+calls on a block-Toeplitz limb matrix.  That shape is MXU-friendly but pays
+three structural taxes the compiler cannot remove:
+
+* the Toeplitz operand is dense to XLA, so (2L-1)*L block products are
+  multiplied where only L*L are nonzero — ~47% wasted MXU work at L=9,
+* the [.., (2L-1)*P, ..] int32 diagonal tensor round-trips HBM between the
+  matmul and the recombination pass,
+* the matmul (MXU) and recombination (VPU) run as separate XLA fusions, so
+  the two units serialize instead of overlapping.
+
+This kernel runs BOTH matmul steps and BOTH recombinations for one
+(channel, batch-instance) grid cell inside one ``pallas_call``: the limb
+products are issued as L rectangular dots per step (exactly the L*L nonzero
+block products, with a wide [P, L*P] rhs to keep the MXU pipelined), the
+diagonal accumulator lives in VMEM scratch, and the recombination runs as
+uint32-pair arithmetic (``ops/pallas_mont.py`` conventions) interleaved
+with the dots.
+
+Recombination folds multiply by *constants* (mid-twiddle planes, variant
+scalars), so they use Shoup multiplication instead of Montgomery REDC:
+with ``w`` fixed and ``w' = floor(w * 2^62 / q)`` precomputed,
+
+    t = floor_approx(w' * x / 2^62)        (31-bit-half mulhi, slack <= 1)
+    r = (w * x - t * q) mod 2^64           in [0, 2.25q) for x < 2^62
+    r -= 2q if r >= 2q                     -> lazy [0, 2q)
+
+which is ~1.7x fewer vector ops than the 31-bit-half REDC and needs no
+Montgomery-domain bookkeeping: the fold constants are the *plain* residues
+``T * 2^(42g) mod q`` (the jnp path's constants carry an extra R that its
+REDC removes again).  Residues mod q are identical to ``ops/ntt.py``;
+lazy representatives may differ (callers only rely on [0, 2q) + mod q,
+see ``mxu_ntt`` module docstring).
+
+Reference parity: this is the TPU replacement for the per-stage CUDA NTT
+(``csrc/cuda/ntt_cuda.cu:89-100``); twiddle conventions match
+``ops/ntt.py::make_psi_tables`` exactly, so decrypt-level results are
+bit-identical to the reference math.
+
+Requires P1, P2 >= 128 on real TPUs (logN >= 14); tests run any size via
+``interpret=True``.  Signed inputs are not supported (engine routes signed
+key-material transforms through the radix-2 path, like ``mxu_ntt``).
+"""
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiberate_tpu.ops import ntt as ntt_ops
+from tiberate_tpu.ops.mxu_ntt import (
+    GROUP_BITS,
+    GROUP_K,
+    LIMB_BITS,
+    LIMB_MASK,
+    _br_vec,
+    _power_series,
+    limbs_for_bits,
+)
+
+U32 = jnp.uint32
+M31 = np.uint32(0x7FFFFFFF)
+
+
+# ----------------------------------------------------------------------
+# Tables.
+# ----------------------------------------------------------------------
+
+
+def _pair_cols(vals_u64: np.ndarray) -> np.ndarray:
+    """uint64 [...] -> u32 [..., 2] (lo, hi) base-2^32 pair."""
+    v = np.asarray(vals_u64, dtype=np.uint64)
+    return np.stack(
+        [(v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+         (v >> np.uint64(32)).astype(np.uint32)],
+        axis=-1,
+    )
+
+
+def _split31_cols(vals_u64: np.ndarray) -> np.ndarray:
+    """uint64 [...] (< 2^62) -> u32 [..., 2] 31-bit split (w0, w1):
+    value = w0 + w1 * 2^31, both halves < 2^31 (multiply-ready for
+    ``_mul31``)."""
+    v = np.asarray(vals_u64, dtype=np.uint64)
+    return np.stack(
+        [(v & np.uint64(0x7FFFFFFF)).astype(np.uint32),
+         (v >> np.uint64(31)).astype(np.uint32)],
+        axis=-1,
+    )
+
+
+def _limb_blocks(W_u64: np.ndarray, L: int) -> np.ndarray:
+    """uint64 [K1, K2] -> int8 [L, K1, K2] plain limb planes."""
+    return np.stack(
+        [((W_u64 >> np.uint64(LIMB_BITS * i)) & np.uint64(LIMB_MASK))
+         .astype(np.int8) for i in range(L)]
+    )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class KGroup:
+    """One contiguous channel range sharing a limb count L."""
+
+    L: int          # static
+    c0: int         # static
+    c1: int         # static
+    W1: jax.Array   # [Cg, L, P1, P1] int8 (left twiddle limb planes)
+    W2: jax.Array   # [Cg, P2, L*P2] int8 (right twiddle limbs along cols)
+    TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
+    consts: jax.Array  # [Cg, 4] u32: q0, q1 (31-split), 2q_lo, 2q_hi (pair)
+
+    def tree_flatten(self):
+        return (self.W1, self.W2, self.TA, self.consts), (
+            self.L, self.c0, self.c1)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*aux, *children)
+
+    @property
+    def n_groups(self):
+        return -(-(2 * self.L - 1) // GROUP_K)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class KTables:
+    """One direction's kernel tables (see ``mxu_ntt.MxuNttTables``).
+
+    ``scalars[variant]``: [C, G, 4] u32 step-B fold scalars (w pair +
+    Shoup pair per group).
+    """
+
+    groups: tuple
+    scalars: dict
+    P1: int
+    P2: int
+    swap: bool
+
+    def tree_flatten(self):
+        names = tuple(sorted(self.scalars))
+        return (
+            (self.groups, tuple(self.scalars[k] for k in names)),
+            (names, self.P1, self.P2, self.swap),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        names, P1, P2, swap = aux
+        groups, svals = children
+        return cls(groups, dict(zip(names, svals)), P1, P2, swap)
+
+    def __getitem__(self, sl: slice):
+        """Static channel slice (level views), like MxuNttTables."""
+        start = sl.start or 0
+        stop = sl.stop
+        groups = []
+        for g in self.groups:
+            lo = max(g.c0, start)
+            hi = g.c1 if stop is None else min(g.c1, stop)
+            if hi <= lo:
+                continue
+            a, b = lo - g.c0, hi - g.c0
+            groups.append(KGroup(
+                L=g.L, c0=lo - start, c1=hi - start,
+                W1=g.W1[a:b], W2=g.W2[a:b], TA=g.TA[a:b],
+                consts=g.consts[a:b],
+            ))
+        scalars = {k: v[start:stop] for k, v in self.scalars.items()}
+        return KTables(tuple(groups), scalars, self.P1, self.P2, self.swap)
+
+
+def _shoup(w: int, q: int) -> int:
+    """floor(w * 2^62 / q); fold constants satisfy w < q < 2^62."""
+    return (w << 62) // q
+
+
+def build_tables(q, logN: int, *, logN1: int | None = None,
+                 mont_R_bits: int = 62, inverse: bool = False) -> KTables:
+    """Kernel tables; twiddle math identical to ``mxu_ntt.build_tables``."""
+    N = 1 << logN
+    if logN1 is None:
+        logN1 = logN // 2
+    logN2 = logN - logN1
+    N1, N2 = 1 << logN1, 1 << logN2
+    R_mont = 1 << mont_R_bits
+    _2N = 2 * N
+    q = [int(x) for x in q]
+
+    br1 = _br_vec(N1, logN1)
+    br2 = _br_vec(N2, logN2)
+    n1v = np.arange(N1, dtype=np.int64)
+    n2v = np.arange(N2, dtype=np.int64)
+    eW1 = (N2 * np.outer(n1v, 2 * br1 + 1).T) % _2N        # [r1, n1]
+    eT = (np.outer(2 * br1 + 1, n2v)) % _2N                # [r1, n2]
+    eW2 = (2 * N1 * np.outer(n2v, br2)) % _2N              # [n2, r2]
+
+    Ls = [limbs_for_bits(qi.bit_length() + 1) for qi in q]
+    bounds = [0]
+    for c in range(1, len(q)):
+        if Ls[c] != Ls[c - 1]:
+            bounds.append(c)
+    bounds.append(len(q))
+
+    groups = []
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        L = Ls[c0]
+        G = -(-(2 * L - 1) // GROUP_K)
+        W1_t, W2_t, TA_t, cons_t = [], [], [], []
+        for qi in q[c0:c1]:
+            psi = ntt_ops.primitive_root_2N(qi, N)
+            if inverse:
+                psi = pow(psi, -1, qi)
+            ps = _power_series(psi, qi, _2N)
+            W1 = ps[eW1]
+            W2 = ps[eW2]
+            if inverse:
+                left, right = W2, W1
+                eTA = eT.T
+            else:
+                left, right = W1, W2
+                eTA = eT
+            W1_t.append(_limb_blocks(left, L))
+            # right limbs concatenated along columns: [P2, L*P2]
+            rl = _limb_blocks(right, L)              # [L, P2a, P2b]
+            W2_t.append(np.concatenate(list(rl), axis=1))
+            # TA fold planes per group: w = T * 2^(42g) mod q (+ Shoup)
+            planes = []
+            for g in range(G):
+                cg = pow(2, GROUP_BITS * g, qi)
+                ps_g = _power_series(psi, qi, _2N, scale=cg)
+                w = ps_g[eTA]
+                wsh = np.array(
+                    [[_shoup(int(v), qi) for v in row] for row in w],
+                    dtype=np.uint64,
+                )
+                wp = _split31_cols(w.astype(np.uint64))
+                sp = _split31_cols(wsh)
+                planes.append(np.concatenate(
+                    [np.moveaxis(wp, -1, 0), np.moveaxis(sp, -1, 0)]))
+            TA_t.append(np.stack(planes))            # [G, 4, Pa, Pb]
+            cons_t.append(np.concatenate([
+                _split31_cols(np.uint64(qi)).reshape(-1),
+                _pair_cols(np.uint64(2 * qi)).reshape(-1),
+            ]))
+
+        groups.append(KGroup(
+            L=L, c0=c0, c1=c1,
+            W1=jnp.array(np.stack(W1_t)),
+            W2=jnp.array(np.stack(W2_t)),
+            TA=jnp.array(np.stack(TA_t)),
+            consts=jnp.array(np.stack(cons_t)),
+        ))
+
+    G_max = max(g.n_groups for g in groups)
+
+    def fold_scalars(c_list):
+        out = np.zeros((len(q), G_max, 4), dtype=np.uint32)
+        for ci, (qi, base) in enumerate(zip(q, c_list)):
+            for g in range(G_max):
+                w = pow(2, GROUP_BITS * g, qi) * base % qi
+                out[ci, g, :2] = _split31_cols(np.uint64(w))
+                out[ci, g, 2:] = _split31_cols(np.uint64(_shoup(w, qi)))
+        return jnp.array(out)
+
+    if inverse:
+        # Unlike mxu_ntt's REDC folds (which carry an extra R that the
+        # REDC cancels), Shoup folds apply the constant verbatim:
+        # "mont" keeps the values' own R factor (plain N^-1 fold),
+        # "exit" also strips it (N^-1 * R^-1).
+        scalars = {
+            "mont": fold_scalars([pow(N, -1, qi) for qi in q]),
+            "exit": fold_scalars(
+                [pow(N, -1, qi) * pow(R_mont, -1, qi) % qi for qi in q]),
+        }
+        P1, P2 = N2, N1
+    else:
+        scalars = {
+            "plain": fold_scalars([1] * len(q)),
+            "enter": fold_scalars([R_mont % qi for qi in q]),
+        }
+        P1, P2 = N1, N2
+    return KTables(tuple(groups), scalars, P1, P2, inverse)
+
+
+# ----------------------------------------------------------------------
+# In-kernel pair helpers (u32; see ops/pallas_mont.py conventions).
+# ----------------------------------------------------------------------
+
+
+def _mul31(x, y):
+    """31-bit x 31-bit -> (lo, hi) u32 pair."""
+    M16 = np.uint32(0xFFFF)
+    x0 = x & M16
+    x1 = x >> U32(16)
+    y0 = y & M16
+    y1 = y >> U32(16)
+    ll = x0 * y0
+    mm = x1 * y0 + x0 * y1
+    hh = x1 * y1
+    lo = ll + (mm << U32(16))
+    carry = (lo < ll).astype(U32)
+    return lo, hh + (mm >> U32(16)) + carry
+
+
+def _add64(alo, ahi, blo, bhi):
+    lo = alo + blo
+    return lo, ahi + bhi + (lo < alo).astype(U32)
+
+
+def _sub64(alo, ahi, blo, bhi):
+    lo = alo - blo
+    return lo, ahi - bhi - (alo < blo).astype(U32)
+
+
+def _shr31(lo, hi):
+    return (lo >> U32(31)) | (hi << U32(1)), hi >> U32(31)
+
+
+def _split31(lo, hi):
+    """value < 2^62 -> (low31, high31)."""
+    return lo & M31, (hi << U32(1)) | (lo >> U32(31))
+
+
+def _shl31(lo, hi):
+    return lo << U32(31), (hi << U32(31)) | (lo >> U32(1))
+
+
+def _low64_31(a0, a1, b0, b1):
+    """low 64 bits of (a0 + a1*2^31) * (b0 + b1*2^31); a_i, b_i < 2^31."""
+    lo, hi = _mul31(a0, b0)
+    mlo, mhi = _add64(*_mul31(a0, b1), *_mul31(a1, b0))
+    mlo, mhi = _shl31(mlo, mhi)
+    lo, hi = _add64(lo, hi, mlo, mhi)
+    p = _mul31(a1, b1)[0]
+    return lo, hi + (p << U32(30))          # (a1*b1) << 62 mod 2^64
+
+
+def _shoup_mult(xlo, xhi, w0, w1, s0, s1, q0, q1, q2lo, q2hi):
+    """w * x mod q, lazy [0, 2q); x < 2^61 base-2^32 pair (xlo, xhi).
+
+    (w0, w1) / (s0, s1) / (q0, q1) are 31-bit splits of the constant w,
+    its Shoup companion w' = floor(w * 2^62 / q), and q.  t is the
+    31-bit-half mulhi floor_approx(w' x / 2^62) with slack <= 1, so
+    r = w*x - t*q < q*(x/2^62 + 2) < 2.5q; one conditional subtract of
+    2q lands in [0, 2q).
+    """
+    x0, x1 = _split31(xlo, xhi)
+    # t = x1*s1 + ((x1*s0 + x0*s1 + (x0*s0 >> 31)) >> 31)
+    mlo, mhi = _add64(*_mul31(x1, s0), *_mul31(x0, s1))
+    mlo, mhi = _add64(mlo, mhi, *_shr31(*_mul31(x0, s0)))
+    mlo, mhi = _shr31(mlo, mhi)
+    tlo, thi = _add64(*_mul31(x1, s1), mlo, mhi)
+    t0, t1 = _split31(tlo, thi)
+    # r = (w*x - t*q) mod 2^64
+    wxlo, wxhi = _low64_31(x0, x1, w0, w1)
+    tqlo, tqhi = _low64_31(t0, t1, q0, q1)
+    rlo, rhi = _sub64(wxlo, wxhi, tqlo, tqhi)
+    big = (rhi > q2hi) | ((rhi == q2hi) & (rlo >= q2lo))
+    dlo, dhi = _sub64(rlo, rhi, q2lo, q2hi)
+    return jnp.where(big, dlo, rlo), jnp.where(big, dhi, rhi)
+
+
+def _csub2q(lo, hi, q2lo, q2hi):
+    big = (hi > q2hi) | ((hi == q2hi) & (lo >= q2lo))
+    dlo, dhi = _sub64(lo, hi, q2lo, q2hi)
+    return jnp.where(big, dlo, lo), jnp.where(big, dhi, hi)
+
+
+# ----------------------------------------------------------------------
+# The kernel.
+# ----------------------------------------------------------------------
+
+
+def _recombine_diag(s_ref, L, G, fold_w, q2):
+    """VMEM diagonals -> folded pair [Pa, Pb] in [0, 2q).
+
+    fold_w(g) -> (w0, w1, s0, s1) 31-split arrays/scalars;
+    q2 = (q0, q1, q2lo, q2hi).  Group sums stay < 2^60 (GROUP_K bound),
+    inside _shoup_mult's x < 2^61 precondition.
+    """
+    q0, q1, q2lo, q2hi = q2
+    nd = 2 * L - 1
+    out = None
+    for g in range(G):
+        k0 = g * GROUP_K
+        k1 = min(k0 + GROUP_K, nd)
+        alo = ahi = None
+        for k in range(k0, k1):
+            s = s_ref[k].astype(U32)            # < 2^25
+            sh = LIMB_BITS * (k - k0)
+            if sh == 0:
+                tlo, thi = s, jnp.zeros_like(s)
+            elif sh < 32:
+                tlo, thi = s << U32(sh), s >> U32(32 - sh)
+            else:
+                tlo = jnp.zeros_like(s)
+                thi = s << U32(sh - 32)
+            if alo is None:
+                alo, ahi = tlo, thi
+            else:
+                alo, ahi = _add64(alo, ahi, tlo, thi)
+        w0, w1, s0, s1 = fold_w(g)
+        vlo, vhi = _shoup_mult(alo, ahi, w0, w1, s0, s1,
+                               q0, q1, q2lo, q2hi)
+        if out is None:
+            out = (vlo, vhi)
+        else:
+            slo, shi = _add64(out[0], out[1], vlo, vhi)
+            out = _csub2q(slo, shi, q2lo, q2hi)
+    return out
+
+
+def _make_kernel(L, G, P1, P2):
+    nd = 2 * L - 1
+
+    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref,
+               lo_ref, hi_ref, s_ref):
+        c = pl.program_id(0)      # SMEM operands arrive unblocked
+        q0 = cons_ref[c, 0]       # q 31-split
+        q1 = cons_ref[c, 1]
+        q2lo = cons_ref[c, 2]     # 2q base-2^32 pair (for compares)
+        q2hi = cons_ref[c, 3]
+        q2 = (q0, q1, q2lo, q2hi)
+
+        # ---- step A: diagonals of (left-twiddle @ x-limbs) ------------
+        xcat = x_ref[0, 0]                       # [P1, L*P2] int8
+        for i in range(L):
+            Ti = jax.lax.dot_general(
+                w1_ref[0, i], xcat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                     # [P1, L*P2]
+            for j in range(L):
+                blk = Ti[:, j * P2:(j + 1) * P2]
+                if i == 0 or j == L - 1:
+                    s_ref[i + j] = blk
+                else:
+                    s_ref[i + j] = s_ref[i + j] + blk
+
+        def fold_a(g):
+            return (ta_ref[0, g, 0], ta_ref[0, g, 1],
+                    ta_ref[0, g, 2], ta_ref[0, g, 3])
+
+        ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2)
+
+        # ---- step B: diagonals of (U-limbs @ right-twiddle) -----------
+        parts = []
+        for j in range(L):
+            sh = LIMB_BITS * j
+            if sh + LIMB_BITS <= 32:
+                limb = (ulo >> U32(sh)) & U32(LIMB_MASK)
+            elif sh >= 32:
+                limb = (uhi >> U32(sh - 32)) & U32(LIMB_MASK)
+            else:
+                limb = ((ulo >> U32(sh)) | (uhi << U32(32 - sh))) \
+                    & U32(LIMB_MASK)
+            parts.append(limb.astype(jnp.int8))
+        for j in range(L):
+            Tj = jax.lax.dot_general(
+                parts[j], w2_ref[0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )                                     # [P1, L*P2]
+            for i in range(L):
+                blk = Tj[:, i * P2:(i + 1) * P2]
+                if j == 0 or i == L - 1:
+                    s_ref[i + j] = blk
+                else:
+                    s_ref[i + j] = s_ref[i + j] + blk
+
+        def fold_b(g):
+            return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
+                    fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
+
+        olo, ohi = _recombine_diag(s_ref, L, G, fold_b, q2)
+        lo_ref[0, 0] = olo
+        hi_ref[0, 0] = ohi
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "G", "P1", "P2", "interpret"),
+)
+def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
+               interpret=False):
+    """xcat: [B, Cg, P1, L*P2] int8 -> (lo, hi) u32 [B, Cg, P1, P2]."""
+    B, Cg = xcat.shape[:2]
+    nd = 2 * L - 1
+    kernel = _make_kernel(L, G, P1, P2)
+    grid = (Cg, B)
+    z = np.int32(0)  # python 0 would trace as i64 under x64 mode
+    lo, hi = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Cg, 4), lambda c, b: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32),
+            jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32),
+        ],
+        scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Cg * L * L * P1 * P2 * (P1 + P2),
+            bytes_accessed=B * Cg * P1 * P2 * (L + 8),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA)
+    return lo, hi
+
+
+def _apply(x, tables: KTables, variant: str, interpret=False):
+    """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q)."""
+    P1, P2 = tables.P1, tables.P2
+    lead = x.shape[:-2]
+    C = x.shape[-2]
+    N = P1 * P2
+    B = int(np.prod(lead)) if lead else 1
+    if tables.swap:
+        xm = x.reshape(*lead, C, P2, P1)
+        xm = jnp.swapaxes(xm, -1, -2)
+    else:
+        xm = x.reshape(*lead, C, P1, P2)
+    xm = xm.reshape(B, C, P1, P2)
+
+    outs = []
+    for g in tables.groups:
+        L = g.L
+        xg = xm[:, g.c0:g.c1].astype(jnp.uint64)
+        xcat = jnp.concatenate(
+            [((xg >> jnp.uint64(LIMB_BITS * j)) & jnp.uint64(LIMB_MASK))
+             .astype(jnp.int8) for j in range(L)],
+            axis=-1,
+        )                                        # [B, Cg, P1, L*P2]
+        folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
+        lo, hi = _run_group(
+            xcat, g.W1, g.W2, g.TA, g.consts, folds,
+            L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
+        )
+        outs.append(
+            (lo.astype(jnp.uint64)
+             | (hi.astype(jnp.uint64) << jnp.uint64(32)))
+        )
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    out = out.reshape(B, C, P1, P2)
+    if tables.swap:
+        out = jnp.swapaxes(out, -1, -2)
+    out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
+    return out.astype(x.dtype)
+
+
+def ntt(x, fwd: KTables, enter: bool = False, interpret: bool = False):
+    """Forward negacyclic NTT (domain-preserving, like ops/ntt.ntt)."""
+    return _apply(x, fwd, "enter" if enter else "plain", interpret)
+
+
+def intt(x, inv: KTables, epilogue: str = "mont", interpret: bool = False):
+    """Inverse NTT; epilogue "mont" keeps R (like ops/ntt.intt), "exit"
+    folds R^-1 (like intt_exit)."""
+    return _apply(x, inv, epilogue, interpret)
