@@ -1,0 +1,120 @@
+"""Fused Pallas MXU NTT (ops/pallas_mxu.py): residue parity vs the XLA
+matmul-form path, run in interpret mode so the default (CPU) suite covers
+the kernel logic.  Real-TPU numbers live in PERFORMANCE.md.
+
+Residues mod q must match ops/mxu_ntt.py (itself oracle-tested against
+ops/ntt.py) in every variant; lazy [0, 2q) representatives may differ.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tiberate_tpu.ops import mxu_ntt, pallas_mxu
+from tiberate_tpu.utils.primes import find_the_next_prime
+
+
+def _primes(logN, qbits_list):
+    N = 1 << logN
+    q, start = [], {}
+    for qb in qbits_list:
+        s = start.get(qb, 2**qb - 1)
+        p = find_the_next_prime(s, 2 * N, up=False)
+        start[qb] = p - 2
+        q.append(p)
+    return q
+
+
+@pytest.mark.parametrize("logN,qbits", [
+    (6, [40, 40, 60]),          # mixed limb groups
+    (7, [60]),
+    (9, [40, 60, 60]),          # odd logN: N1 != N2
+])
+def test_pallas_mxu_matches_mxu_ntt(logN, qbits):
+    q = _primes(logN, qbits)
+    N = 1 << logN
+    rng = np.random.default_rng(3)
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    x = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+
+    fwd_o = mxu_ntt.build_tables(q, logN)
+    inv_o = mxu_ntt.build_tables(q, logN, inverse=True)
+    fwd_k = pallas_mxu.build_tables(q, logN)
+    inv_k = pallas_mxu.build_tables(q, logN, inverse=True)
+
+    cases = [
+        (lambda a: mxu_ntt.ntt(a, fwd_o),
+         lambda a: pallas_mxu.ntt(a, fwd_k, interpret=True)),
+        (lambda a: mxu_ntt.ntt(a, fwd_o, enter=True),
+         lambda a: pallas_mxu.ntt(a, fwd_k, enter=True, interpret=True)),
+        (lambda a: mxu_ntt.intt(a, inv_o),
+         lambda a: pallas_mxu.intt(a, inv_k, interpret=True)),
+        (lambda a: mxu_ntt.intt(a, inv_o, epilogue="exit"),
+         lambda a: pallas_mxu.intt(a, inv_k, epilogue="exit",
+                                   interpret=True)),
+    ]
+    for fo, fk in cases:
+        a = np.asarray(fo(x))
+        b = np.asarray(fk(x))
+        assert (b >= 0).all() and (b < 2 * qcol).all()
+        np.testing.assert_array_equal(a % qcol, b % qcol)
+
+
+def test_pallas_mxu_lead_dims_and_level_slice():
+    logN = 6
+    q = _primes(logN, [40, 40, 60, 60])
+    N = 1 << logN
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(5)
+    x = jnp.array(np.stack(
+        [rng.integers(0, qi, N, dtype=np.int64) for qi in q]))
+    xb = jnp.stack([x, (x * 3) % jnp.asarray(qcol)])
+
+    fwd_o = mxu_ntt.build_tables(q, logN)
+    fwd_k = pallas_mxu.build_tables(q, logN)
+
+    a = np.asarray(mxu_ntt.ntt(xb, fwd_o))
+    b = np.asarray(pallas_mxu.ntt(xb, fwd_k, interpret=True))
+    np.testing.assert_array_equal(a % qcol, b % qcol)
+
+    # static channel slicing (the engine's per-level views), including a
+    # slice that crosses the limb-group boundary
+    for sl in (slice(0, 2), slice(1, 4), slice(2, None)):
+        a = np.asarray(mxu_ntt.ntt(x[sl], fwd_o[sl]))
+        b = np.asarray(pallas_mxu.ntt(x[sl], fwd_k[sl], interpret=True))
+        np.testing.assert_array_equal(a % qcol[sl], b % qcol[sl])
+
+
+def test_pallas_mxu_30bit_mode():
+    """int32 storage / 30-bit moduli (buffer_bit_length=30)."""
+    logN = 6
+    N = 1 << logN
+    q, start = [], 2**28 - 1
+    for _ in range(3):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q.append(p)
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(7)
+    x = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]
+    ).astype(np.int32))
+
+    fwd_o = mxu_ntt.build_tables(q, logN, mont_R_bits=30)
+    fwd_k = pallas_mxu.build_tables(q, logN, mont_R_bits=30)
+    inv_o = mxu_ntt.build_tables(q, logN, mont_R_bits=30, inverse=True)
+    inv_k = pallas_mxu.build_tables(q, logN, mont_R_bits=30, inverse=True)
+
+    for fo, fk in (
+        (lambda a: mxu_ntt.ntt(a, fwd_o, enter=True),
+         lambda a: pallas_mxu.ntt(a, fwd_k, enter=True, interpret=True)),
+        (lambda a: mxu_ntt.intt(a, inv_o, epilogue="exit"),
+         lambda a: pallas_mxu.intt(a, inv_k, epilogue="exit",
+                                   interpret=True)),
+    ):
+        a = np.asarray(fo(x))
+        b = np.asarray(fk(x))
+        assert b.dtype == np.int32
+        np.testing.assert_array_equal(a % qcol, b % qcol)

@@ -60,11 +60,14 @@ class LevelPack:
     tables: object = None   # pallas_ntt.NttTables | None
     mxu_fwd: object = None  # mxu_ntt.MxuNttTables | None
     mxu_inv: object = None  # mxu_ntt.MxuNttTables | None
+    pmxu_fwd: object = None  # pallas_mxu.KTables | None
+    pmxu_inv: object = None  # pallas_mxu.KTables | None
 
     def tree_flatten(self):
         return (
             (self.pack, self.psi, self.ipsi, self.Ninv, self.Rs,
-             self.Rs_scale, self.tables, self.mxu_fwd, self.mxu_inv),
+             self.Rs_scale, self.tables, self.mxu_fwd, self.mxu_inv,
+             self.pmxu_fwd, self.pmxu_inv),
             None,
         )
 
@@ -87,6 +90,8 @@ class LevelPack:
             tables=None if self.tables is None else self.tables[sl],
             mxu_fwd=None if self.mxu_fwd is None else self.mxu_fwd[sl],
             mxu_inv=None if self.mxu_inv is None else self.mxu_inv[sl],
+            pmxu_fwd=None if self.pmxu_fwd is None else self.pmxu_fwd[sl],
+            pmxu_inv=None if self.pmxu_inv is None else self.pmxu_inv[sl],
         )
 
 
@@ -308,6 +313,35 @@ class CkksParams:
         )
         self._lp_cache = {}
         self._mxu_enabled = True
+
+    def enable_pallas_mxu(self):
+        """Attach the fused Pallas MXU NTT tables (``ops/pallas_mxu``).
+
+        One pallas_call per transform: both twiddle matmuls run as int8
+        MXU dots with the diagonal accumulator in VMEM and the Shoup
+        recombination interleaved on the VPU (~2x the XLA matmul-form
+        path on a v5e).  TPU-only (the kernel needs N1, N2 >= 128, i.e.
+        logN >= 14); unsigned transforms only, like ``enable_mxu_ntt``.
+        """
+        if getattr(self, "_pmxu_enabled", False):
+            return
+        from tiberate_tpu.ops import pallas_mxu
+
+        fwd = pallas_mxu.build_tables(
+            self.q, self.logN, mont_R_bits=self.buffer_bit_length
+        )
+        inv = pallas_mxu.build_tables(
+            self.q, self.logN, mont_R_bits=self.buffer_bit_length,
+            inverse=True,
+        )
+        self._full = LevelPack(
+            pack=self.pack, psi=self.psi, ipsi=self.ipsi,
+            Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
+            tables=self._full.tables, mxu_fwd=self._full.mxu_fwd,
+            mxu_inv=self._full.mxu_inv, pmxu_fwd=fwd, pmxu_inv=inv,
+        )
+        self._lp_cache = {}
+        self._pmxu_enabled = True
 
     def base_lp(self) -> LevelPack:
         """The base-prime-only view (last ordinary channel)."""

@@ -65,6 +65,10 @@ logger = logging.getLogger("tiberate_tpu")
 
 
 def _enter_ntt(x, lp):
+    if lp.pmxu_fwd is not None:
+        from tiberate_tpu.ops import pallas_mxu
+
+        return pallas_mxu.ntt(x, lp.pmxu_fwd, enter=True)
     if lp.mxu_fwd is not None:
         from tiberate_tpu.ops import mxu_ntt
 
@@ -83,6 +87,10 @@ def _ntt_plain(x, lp, signed=False):
     sign-flipped representatives; the MXU/pair/pallas fast paths are
     unsigned-only).
     """
+    if lp.pmxu_fwd is not None and not signed:
+        from tiberate_tpu.ops import pallas_mxu
+
+        return pallas_mxu.ntt(x, lp.pmxu_fwd, enter=False)
     if lp.mxu_fwd is not None and not signed:
         from tiberate_tpu.ops import mxu_ntt
 
@@ -95,6 +103,10 @@ def _ntt_plain(x, lp, signed=False):
 
 
 def _intt_exit(x, lp):
+    if lp.pmxu_inv is not None:
+        from tiberate_tpu.ops import pallas_mxu
+
+        return pallas_mxu.intt(x, lp.pmxu_inv, epilogue="exit")
     if lp.mxu_inv is not None:
         from tiberate_tpu.ops import mxu_ntt
 
@@ -107,6 +119,12 @@ def _intt_exit(x, lp):
 
 
 def _intt_exit_reduce(x, lp):
+    if lp.pmxu_inv is not None:
+        from tiberate_tpu.ops import pallas_mxu
+
+        return mont.reduce_2q(
+            pallas_mxu.intt(x, lp.pmxu_inv, epilogue="exit"), lp.pack
+        )
     if lp.mxu_inv is not None:
         from tiberate_tpu.ops import mxu_ntt
 
@@ -531,6 +549,7 @@ class CkksEngine:
         nonce=None,
         use_pallas_ntt: bool | None = None,
         use_mxu_ntt: bool | None = None,
+        use_pallas_mxu: bool | None = None,
         mesh=None,
     ):
         if ckks_config is None:
@@ -560,18 +579,32 @@ class CkksEngine:
         if self.use_pallas_ntt:
             self.params.enable_pallas_ntt()
 
-        # Matmul-form (4-step) NTT on the MXU: int8 limb contractions
-        # replace the VPU butterfly chains (ops/mxu_ntt.py).  Default: on
-        # for TPU backends at production ring sizes, off for CPU (the
-        # int64 butterflies are faster there and the tests exercise both).
+        # Fused Pallas MXU NTT (ops/pallas_mxu.py): the two twiddle
+        # matmuls + Shoup recombination in one pallas_call, diagonals in
+        # VMEM.  ~2x the XLA matmul-form path on a v5e.  TPU-only (Mosaic
+        # kernel; needs N1, N2 >= 128 -> logN >= 14).
+        on_tpu = False
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:  # noqa: BLE001 — backend probing only
+            pass
+        if use_pallas_mxu is None:
+            use_pallas_mxu = on_tpu and self.ckksCfg.logN >= 14
+        self.use_pallas_mxu = bool(use_pallas_mxu)
+        if self.use_pallas_mxu:
+            self.params.enable_pallas_mxu()
+
+        # Matmul-form (4-step) NTT as XLA contractions (ops/mxu_ntt.py):
+        # int8 limb matmuls replace the VPU butterfly chains.  Default: on
+        # for TPU backends at production ring sizes when the fused Pallas
+        # path is off (which subsumes it for unsigned transforms); off for
+        # CPU (the int64 butterflies are faster there and the tests
+        # exercise both).
         if use_mxu_ntt is None:
-            try:
-                use_mxu_ntt = (
-                    jax.default_backend() not in ("cpu",)
-                    and self.ckksCfg.logN >= 12
-                )
-            except Exception:  # noqa: BLE001 — backend probing only
-                use_mxu_ntt = False
+            use_mxu_ntt = (
+                on_tpu and self.ckksCfg.logN >= 12
+                and not self.use_pallas_mxu
+            )
         self.use_mxu_ntt = bool(use_mxu_ntt)
         if self.use_mxu_ntt:
             self.params.enable_mxu_ntt()
