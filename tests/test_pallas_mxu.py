@@ -118,3 +118,49 @@ def test_pallas_mxu_30bit_mode():
         b = np.asarray(fk(x))
         assert b.dtype == np.int32
         np.testing.assert_array_equal(a % qcol, b % qcol)
+
+
+def test_pallas_mxu_keymul():
+    """Fused forward-NTT + evk multiply: bit-identical to the unfused
+    pallas ntt -> mont.mont_mult chain (same REDC on the same kernel
+    output), and residue-identical to the XLA path."""
+    from tiberate_tpu.ops import mont
+
+    logN = 8
+    q = _primes(logN, [40, 40, 60])
+    N = 1 << logN
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(11)
+    x = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+    k0 = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+    k1 = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+
+    fwd_k = pallas_mxu.build_tables(q, logN)
+    pack = mont.ModPack.from_q(q)
+
+    kp = tuple(pallas_mxu.key_pairs(k, fwd_k) for k in (k0, k1))
+    t0, t1 = pallas_mxu.ntt_keymul(x, fwd_k, kp, interpret=True)
+
+    ref = pallas_mxu.ntt(x, fwd_k, interpret=True)
+    e0 = np.asarray(mont.mont_mult(ref, k0, pack))
+    e1 = np.asarray(mont.mont_mult(ref, k1, pack))
+    np.testing.assert_array_equal(e0, np.asarray(t0))
+    np.testing.assert_array_equal(e1, np.asarray(t1))
+
+    # leading batch dim (the bench's vmap shape)
+    xb = jnp.stack([x, (x + 1) % qcol])
+    t0b, t1b = pallas_mxu.ntt_keymul(xb, fwd_k, kp, interpret=True)
+    refb = pallas_mxu.ntt(xb, fwd_k, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(mont.mont_mult(refb, k0, pack)), np.asarray(t0b))
+
+    # per-level channel slices (engine views)
+    for sl in (slice(1, None), slice(2, None)):
+        kps = tuple((lo[sl], hi[sl]) for lo, hi in kp)
+        a0, a1 = pallas_mxu.ntt_keymul(x[sl], fwd_k[sl], kps,
+                                       interpret=True)
+        np.testing.assert_array_equal(e0[sl] % qcol[sl],
+                                      np.asarray(a0) % qcol[sl])

@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tiberate_tpu.ops import ntt as ntt_ops
+from tiberate_tpu.ops import pallas_mont
 from tiberate_tpu.ops.mxu_ntt import (
     GROUP_BITS,
     GROUP_K,
@@ -114,7 +115,7 @@ class KGroup:
     W1: jax.Array   # [Cg, L, P1, P1] int8 (left twiddle limb planes)
     W2: jax.Array   # [Cg, P2, L*P2] int8 (right twiddle limbs along cols)
     TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
-    consts: jax.Array  # [Cg, 4] u32: q0, q1 (31-split), 2q_lo, 2q_hi (pair)
+    consts: jax.Array  # [Cg, 6] u32: q 31-split, 2q pair, k 31-split
 
     def tree_flatten(self):
         return (self.W1, self.W2, self.TA, self.consts), (
@@ -246,9 +247,11 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
                 planes.append(np.concatenate(
                     [np.moveaxis(wp, -1, 0), np.moveaxis(sp, -1, 0)]))
             TA_t.append(np.stack(planes))            # [G, 4, Pa, Pb]
+            k_redc = (R_mont * pow(R_mont, -1, qi) - 1) // qi
             cons_t.append(np.concatenate([
                 _split31_cols(np.uint64(qi)).reshape(-1),
                 _pair_cols(np.uint64(2 * qi)).reshape(-1),
+                _split31_cols(np.uint64(k_redc)).reshape(-1),
             ]))
 
         groups.append(KGroup(
@@ -418,11 +421,16 @@ def _recombine_diag(s_ref, L, G, fold_w, q2):
     return out
 
 
-def _make_kernel(L, G, P1, P2):
+def _make_kernel(L, G, P1, P2, nkeys=0):
     nd = 2 * L - 1
 
-    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref,
-               lo_ref, hi_ref, s_ref):
+    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
+        if nkeys:
+            krefs = rest[: 2 * nkeys]          # (klo, khi) per key
+            trefs = rest[2 * nkeys : 4 * nkeys]  # (tlo, thi) per key
+            s_ref = rest[-1]
+        else:
+            lo_ref, hi_ref, s_ref = rest
         c = pl.program_id(0)      # SMEM operands arrive unblocked
         q0 = cons_ref[c, 0]       # q 31-split
         q1 = cons_ref[c, 1]
@@ -479,8 +487,22 @@ def _make_kernel(L, G, P1, P2):
                     fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
 
         olo, ohi = _recombine_diag(s_ref, L, G, fold_b, q2)
-        lo_ref[0, 0] = olo
-        hi_ref[0, 0] = ohi
+        if nkeys:
+            # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
+            # reference's per-part evk multiply (``ckks_engine.py:
+            # 1145-1161``) — the NTT result never leaves VMEM.
+            kl = cons_ref[c, 4]
+            kh = cons_ref[c, 5]
+            for i in range(nkeys):
+                tlo, thi = pallas_mont.mont_mult_pair(
+                    olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
+                    q0, q1, kl, kh,
+                )
+                trefs[2 * i][0, 0] = tlo
+                trefs[2 * i + 1][0, 0] = thi
+        else:
+            lo_ref[0, 0] = olo
+            hi_ref[0, 0] = ohi
 
     return kernel
 
@@ -490,18 +512,28 @@ def _make_kernel(L, G, P1, P2):
     static_argnames=("L", "G", "P1", "P2", "interpret"),
 )
 def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
-               interpret=False):
-    """xcat: [B, Cg, P1, L*P2] int8 -> (lo, hi) u32 [B, Cg, P1, P2]."""
+               interpret=False, keys=()):
+    """xcat: [B, Cg, P1, L*P2] int8 -> u32 [B, Cg, P1, P2] outputs.
+
+    Without ``keys``: (lo, hi) of the transform.  With ``keys`` (flat
+    (klo, khi) u32 [Cg, P1, P2] per key): (tlo, thi) per key, where
+    t = REDC(out * k) — the fused keyswitch epilogue.
+    """
     B, Cg = xcat.shape[:2]
     nd = 2 * L - 1
-    kernel = _make_kernel(L, G, P1, P2)
+    nkeys = len(keys) // 2
+    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys)
     grid = (Cg, B)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
-    lo, hi = pl.pallas_call(
+    out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
+    n_out = 2 * nkeys if nkeys else 2
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Cg, 4), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 6), lambda c, b: (z, z),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
                          memory_space=pltpu.SMEM),
@@ -513,30 +545,31 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
                          memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, P1, P2), lambda c, b: (c, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in keys
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32),
-            jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32),
-        ],
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Cg * L * L * P1 * P2 * (P1 + P2),
-            bytes_accessed=B * Cg * P1 * P2 * (L + 8),
+            bytes_accessed=B * Cg * P1 * P2 * (L + 8 + 16 * nkeys),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA)
-    return lo, hi
+    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA, *keys)
+    return outs
 
 
-def _apply(x, tables: KTables, variant: str, interpret=False):
-    """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q)."""
+def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
+    """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
+
+    With ``keys`` (tuple of (klo, khi) u32 [C, P1, P2] pairs, see
+    :func:`key_pairs`): returns a tuple of len(keys) arrays, each
+    REDC(ntt(x) * k_i) — the fused keyswitch epilogue.
+    """
     P1, P2 = tables.P1, tables.P2
     lead = x.shape[:-2]
     C = x.shape[-2]
@@ -549,7 +582,9 @@ def _apply(x, tables: KTables, variant: str, interpret=False):
         xm = x.reshape(*lead, C, P1, P2)
     xm = xm.reshape(B, C, P1, P2)
 
-    outs = []
+    nkeys = len(keys) if keys else 0
+    n_out = nkeys if nkeys else 1
+    outs = [[] for _ in range(n_out)]
     for g in tables.groups:
         L = g.L
         xg = xm[:, g.c0:g.c1].astype(jnp.uint64)
@@ -559,20 +594,32 @@ def _apply(x, tables: KTables, variant: str, interpret=False):
             axis=-1,
         )                                        # [B, Cg, P1, L*P2]
         folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
-        lo, hi = _run_group(
+        kflat = tuple(
+            p[g.c0:g.c1] for pair in (keys or ()) for p in pair
+        )
+        res = _run_group(
             xcat, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
+            keys=kflat,
         )
-        outs.append(
-            (lo.astype(jnp.uint64)
-             | (hi.astype(jnp.uint64) << jnp.uint64(32)))
-        )
-    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
-    out = out.reshape(B, C, P1, P2)
-    if tables.swap:
-        out = jnp.swapaxes(out, -1, -2)
-    out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
-    return out.astype(x.dtype)
+        for i in range(n_out):
+            lo, hi = res[2 * i], res[2 * i + 1]
+            outs[i].append(
+                lo.astype(jnp.uint64)
+                | (hi.astype(jnp.uint64) << jnp.uint64(32))
+            )
+
+    def finish(parts):
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        out = out.reshape(B, C, P1, P2)
+        if tables.swap:
+            out = jnp.swapaxes(out, -1, -2)
+        out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
+        return out.astype(x.dtype)
+
+    if nkeys:
+        return tuple(finish(p) for p in outs)
+    return finish(outs[0])
 
 
 def ntt(x, fwd: KTables, enter: bool = False, interpret: bool = False):
@@ -584,3 +631,26 @@ def intt(x, inv: KTables, epilogue: str = "mont", interpret: bool = False):
     """Inverse NTT; epilogue "mont" keeps R (like ops/ntt.intt), "exit"
     folds R^-1 (like intt_exit)."""
     return _apply(x, inv, epilogue, interpret)
+
+
+def key_pairs(k, tables: KTables):
+    """int64 key rows [C, N] -> (klo, khi) u32 [C, P1, P2] pair for
+    :func:`ntt_keymul`.  One-time (cache per key); forward layout only."""
+    assert not tables.swap, "key fusion is a forward-NTT epilogue"
+    C = k.shape[-2]
+    ku = k.astype(jnp.uint64).reshape(C, tables.P1, tables.P2)
+    return (
+        (ku & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+        (ku >> jnp.uint64(32)).astype(jnp.uint32),
+    )
+
+
+def ntt_keymul(x, fwd: KTables, keys, interpret: bool = False):
+    """Forward NTT fused with per-key Montgomery multiply.
+
+    ``keys``: tuple of (klo, khi) pairs from :func:`key_pairs`.  Returns
+    a tuple of len(keys) arrays, each ``mont_mult(ntt(x), k_i)`` in
+    [0, 2q) — residues mod q identical to the unfused
+    ``mont.mont_mult(ntt(x), k)`` chain (reference per-part evk multiply,
+    ``ckks_engine.py:1145-1161``)."""
+    return _apply(x, fwd, "plain", interpret, keys=keys)
