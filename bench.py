@@ -72,7 +72,9 @@ def main():
     m1, m2 = ms1[0], ms2[0]
     cts1 = [eng.encodecrypt(m) for m in ms1]
     cts2 = [eng.encodecrypt(m) for m in ms2]
-    evk_parts = tuple(eng.evk.data)
+    # Device form: pair-split evk rows on the Pallas MXU path (fused
+    # keyswitch ntt_keymul), plain int64 rows otherwise.
+    evk_parts = tuple(eng._ksk_device(eng.evk))
 
     # Throughput mode: a batch of DISTINCT independent ciphertext multiplies
     # in one compiled program (the serving shape; saturates the VPU).

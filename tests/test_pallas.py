@@ -78,47 +78,3 @@ def test_mont_reduce_add_sub_pair_bit_exact(data):
         np.asarray(pm.from_pair(*pm.reduce_2q_pair(alo, ahi, *q1))),
         np.asarray(mont.reduce_2q(a, pack)),
     )
-
-
-def test_paint_indices_structure():
-    from tiberate_tpu.ops.pallas_ntt import build_paint_indices
-
-    logN = 14
-    N = 1 << logN
-    paint = build_paint_indices(logN)
-    assert paint.shape == (logN, N // 2)
-    for s in range(logN):
-        m = 1 << s
-        vals = np.unique(paint[s])
-        # stage s uses twiddles psi[m .. 2m)
-        assert vals.min() == m and vals.max() == 2 * m - 1
-        assert len(vals) == m
-        # every twiddle appears t = N/(2m) times
-        counts = np.bincount(paint[s])[m:]
-        assert (counts == N // (2 * m)).all()
-
-
-@pytest.mark.skipif(
-    jax.default_backend() == "cpu",
-    reason="fused Pallas NTT requires a TPU backend (Mosaic)",
-)
-def test_pallas_ntt_roundtrip_tpu():
-    from tiberate_tpu.ops import ntt as jntt, pallas_ntt as pntt
-    from tiberate_tpu.utils.primes import find_the_next_prime
-
-    logN = 14
-    N = 1 << logN
-    qs = [find_the_next_prime(2**60 - 1, 2 * N, up=False)]
-    psi, ipsi = jntt.make_psi_tables(qs, logN)
-    R = 1 << 62
-    psi_m = np.array([[p * R % qs[0] for p in psi[0]]], dtype=np.int64)
-    ipsi_m = np.array([[p * R % qs[0] for p in ipsi[0]]], dtype=np.int64)
-    Ninv = np.array([[pow(N, -1, qs[0]) * R % qs[0]]], dtype=np.int64)
-    Rs = np.array([[R * R % qs[0]]], dtype=np.int64)
-    tables = pntt.build_tables(qs, psi_m, ipsi_m, Ninv, Rs, logN)
-
-    rng = np.random.default_rng(1)
-    a = rng.integers(0, qs[0], (1, N)).astype(np.int64)
-    A = pntt.ntt(jnp.asarray(a), tables, enter=True)
-    back = np.asarray(pntt.intt(A, tables, epilogue="exit_reduce"))
-    np.testing.assert_array_equal(back, a)

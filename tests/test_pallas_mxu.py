@@ -164,3 +164,41 @@ def test_pallas_mxu_keymul():
                                        interpret=True)
         np.testing.assert_array_equal(e0[sl] % qcol[sl],
                                       np.asarray(a0) % qcol[sl])
+
+
+def test_engine_pmxu_parity(monkeypatch):
+    """Engine with the Pallas MXU path on (incl. the fused keyswitch
+    ntt_keymul) produces bit-identical ciphertexts to the radix-2 engine:
+    every public op ends in a canonicalizing reduce_2q, so mod-q-identical
+    math must yield equal arrays."""
+    monkeypatch.setattr(pallas_mxu, "INTERPRET", True)
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=2,
+                     scale_bits=30)
+    e_ref = CkksEngine(cfg, seed=31, nonce=7, use_pallas_mxu=False)
+    e_pm = CkksEngine(cfg, seed=31, nonce=7, use_pallas_mxu=True)
+    assert e_pm.use_pallas_mxu and not e_ref.use_pallas_mxu
+
+    rng = np.random.default_rng(2)
+    m = rng.uniform(-1, 1, e_ref.num_slots)
+
+    ct_r = e_ref.encodecrypt(m)
+    ct_p = e_pm.encodecrypt(m)
+    for a, b in zip(ct_r.data, ct_p.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # cc_mult fast path: rescale -> tensor -> fused ntt_keymul keyswitch
+    mr = e_ref.cc_mult(ct_r, ct_r)
+    mp = e_pm.cc_mult(ct_p, ct_p)
+    for a, b in zip(mr.data, mp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    err = np.abs(e_pm.decryptcode(mp, is_real=True) - m * m).max()
+    assert err < 5e-5
+
+    # rotation: switch_key through the pair-form _ksk_args path
+    rr = e_ref.rotate_single(mr, e_ref.rotk[1])
+    rp = e_pm.rotate_single(mp, e_pm.rotk[1])
+    for a, b in zip(rr.data, rp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

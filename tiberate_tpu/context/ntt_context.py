@@ -44,11 +44,11 @@ def _col(vals, dtype=np.int64):
 class LevelPack:
     """Everything the kernels need for one (level, include_special) view.
 
-    ``tables`` (optional) carries the painted twiddle pairs of the fused
-    Pallas NTT kernels; ``mxu_fwd``/``mxu_inv`` (optional) carry the
+    ``pmxu_fwd``/``pmxu_inv`` (optional) carry the fused Pallas MXU NTT
+    tables (``ops/pallas_mxu.py``); ``mxu_fwd``/``mxu_inv`` the XLA
     matmul-form 4-step tables (``ops/mxu_ntt.py``).  When present, the
-    engine's NTT helpers prefer the MXU path, then Pallas, then the int64
-    jnp butterflies.
+    engine's NTT helpers prefer the fused Pallas path, then the XLA
+    matmul form, then the int64 jnp butterflies.
     """
 
     pack: ModPack           # ql/qh/kl/kh/_2q, [C, 1]
@@ -57,7 +57,6 @@ class LevelPack:
     Ninv: jax.Array         # [C, 1] N^-1 R mod q
     Rs: jax.Array           # [C, 1] R^2 mod q
     Rs_scale: jax.Array     # [C, 1] R^2 * scale mod q
-    tables: object = None   # pallas_ntt.NttTables | None
     mxu_fwd: object = None  # mxu_ntt.MxuNttTables | None
     mxu_inv: object = None  # mxu_ntt.MxuNttTables | None
     pmxu_fwd: object = None  # pallas_mxu.KTables | None
@@ -66,7 +65,7 @@ class LevelPack:
     def tree_flatten(self):
         return (
             (self.pack, self.psi, self.ipsi, self.Ninv, self.Rs,
-             self.Rs_scale, self.tables, self.mxu_fwd, self.mxu_inv,
+             self.Rs_scale, self.mxu_fwd, self.mxu_inv,
              self.pmxu_fwd, self.pmxu_inv),
             None,
         )
@@ -87,7 +86,6 @@ class LevelPack:
             Ninv=self.Ninv[sl],
             Rs=self.Rs[sl],
             Rs_scale=self.Rs_scale[sl],
-            tables=None if self.tables is None else self.tables[sl],
             mxu_fwd=None if self.mxu_fwd is None else self.mxu_fwd[sl],
             mxu_inv=None if self.mxu_inv is None else self.mxu_inv[sl],
             pmxu_fwd=None if self.pmxu_fwd is None else self.pmxu_fwd[sl],
@@ -185,7 +183,6 @@ class CkksParams:
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
         )
         self._lp_cache = {}
-        self._pallas_enabled = False
 
         self.num_levels = cfg.num_scales  # usable multiplicative levels
 
@@ -272,23 +269,6 @@ class CkksParams:
             self._lp_cache[key] = self._full[sl]
         return self._lp_cache[key]
 
-    def enable_pallas_ntt(self):
-        """Attach the fused Pallas NTT tables (TPU, logN >= 14 only)."""
-        if self._pallas_enabled:
-            return
-        from tiberate_tpu.ops import pallas_ntt
-
-        tables = pallas_ntt.build_tables(
-            self.q, self.psi, self.ipsi, self.Ninv, self.Rs, self.logN
-        )
-        self._full = LevelPack(
-            pack=self.pack, psi=self.psi, ipsi=self.ipsi,
-            Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
-            tables=tables,
-        )
-        self._lp_cache = {}
-        self._pallas_enabled = True
-
     def enable_mxu_ntt(self):
         """Attach the matmul-form 4-step NTT tables (``ops/mxu_ntt``).
 
@@ -309,7 +289,7 @@ class CkksParams:
         self._full = LevelPack(
             pack=self.pack, psi=self.psi, ipsi=self.ipsi,
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
-            tables=self._full.tables, mxu_fwd=fwd, mxu_inv=inv,
+            mxu_fwd=fwd, mxu_inv=inv,
         )
         self._lp_cache = {}
         self._mxu_enabled = True
@@ -337,7 +317,7 @@ class CkksParams:
         self._full = LevelPack(
             pack=self.pack, psi=self.psi, ipsi=self.ipsi,
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
-            tables=self._full.tables, mxu_fwd=self._full.mxu_fwd,
+            mxu_fwd=self._full.mxu_fwd,
             mxu_inv=self._full.mxu_inv, pmxu_fwd=fwd, pmxu_inv=inv,
         )
         self._lp_cache = {}

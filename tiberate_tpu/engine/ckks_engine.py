@@ -73,10 +73,6 @@ def _enter_ntt(x, lp):
         from tiberate_tpu.ops import mxu_ntt
 
         return mxu_ntt.ntt(x, lp.mxu_fwd, enter=True)
-    if lp.tables is not None:
-        from tiberate_tpu.ops import pallas_ntt
-
-        return pallas_ntt.ntt(x, lp.tables, enter=True)
     return ntt.enter_ntt(x, lp.Rs, lp.psi, lp.pack)
 
 
@@ -95,10 +91,6 @@ def _ntt_plain(x, lp, signed=False):
         from tiberate_tpu.ops import mxu_ntt
 
         return mxu_ntt.ntt(x, lp.mxu_fwd, enter=False)
-    if lp.tables is not None and not signed:
-        from tiberate_tpu.ops import pallas_ntt
-
-        return pallas_ntt.ntt(x, lp.tables, enter=False)
     return ntt.ntt(x, lp.psi, lp.pack, signed=signed)
 
 
@@ -111,10 +103,6 @@ def _intt_exit(x, lp):
         from tiberate_tpu.ops import mxu_ntt
 
         return mxu_ntt.intt(x, lp.mxu_inv, epilogue="exit")
-    if lp.tables is not None:
-        from tiberate_tpu.ops import pallas_ntt
-
-        return pallas_ntt.intt(x, lp.tables, epilogue="exit")
     return ntt.intt_exit(x, lp.ipsi, lp.Ninv, lp.pack)
 
 
@@ -131,10 +119,6 @@ def _intt_exit_reduce(x, lp):
         return mont.reduce_2q(
             mxu_ntt.intt(x, lp.mxu_inv, epilogue="exit"), lp.pack
         )
-    if lp.tables is not None:
-        from tiberate_tpu.ops import pallas_ntt
-
-        return pallas_ntt.intt(x, lp.tables, epilogue="exit_reduce")
     return ntt.intt_exit_reduce(x, lp.ipsi, lp.Ninv, lp.pack)
 
 
@@ -287,9 +271,21 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
         plp = lp_ord[part.lo : part.hi]
         state = _pre_extend(a[part.lo : part.hi], part, plp)
         ext = _extend(state, part, lp_sp, lvl)
-        ext = _ntt_plain(ext, lp_sp)
-        t0 = mont.mont_mult(ext, k0[lvl:], lp_sp.pack)
-        t1 = mont.mont_mult(ext, k1[lvl:], lp_sp.pack)
+        if isinstance(k0, tuple):
+            # Pair-form evk rows (engine._ksk_device): the part-NTT and
+            # both key multiplies run in ONE pallas kernel, so the NTT
+            # output never round-trips HBM (reference per-part evk
+            # multiply, ``ckks_engine.py:1145-1161``).
+            from tiberate_tpu.ops import pallas_mxu
+
+            t0, t1 = pallas_mxu.ntt_keymul(
+                ext, lp_sp.pmxu_fwd,
+                ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
+            )
+        else:
+            ext = _ntt_plain(ext, lp_sp)
+            t0 = mont.mont_mult(ext, k0[lvl:], lp_sp.pack)
+            t1 = mont.mont_mult(ext, k1[lvl:], lp_sp.pack)
         if d0 is None:
             d0, d1 = t0, t1
         else:
@@ -547,7 +543,6 @@ class CkksEngine:
         norm: str = "forward",
         seed=None,
         nonce=None,
-        use_pallas_ntt: bool | None = None,
         use_mxu_ntt: bool | None = None,
         use_pallas_mxu: bool | None = None,
         mesh=None,
@@ -566,18 +561,6 @@ class CkksEngine:
         self.params = CkksParams(self.ckksCfg)
         self.montCtx = self.params.montCtx
         self.rnsPart = self.params.rnsPart
-
-        # Fused Pallas NTT kernels (TPU, logN >= 14): bit-correct and ~1.4x
-        # the XLA path standalone, but inside the fully-fused cc_mult
-        # pipeline XLA's op fusion wins back the difference (pallas_call is
-        # a fusion barrier), so the int64 jnp path stays the default.  The
-        # VPU is the intrinsic ceiling for 62-bit butterflies either way;
-        # the MXU matmul-form NTT is the chartered next big step.
-        if use_pallas_ntt is None:
-            use_pallas_ntt = False
-        self.use_pallas_ntt = bool(use_pallas_ntt) and self.ckksCfg.logN >= 14
-        if self.use_pallas_ntt:
-            self.params.enable_pallas_ntt()
 
         # Fused Pallas MXU NTT (ops/pallas_mxu.py): the two twiddle
         # matmuls + Shoup recombination in one pallas_call, diagonals in
@@ -650,10 +633,10 @@ class CkksEngine:
 
         register_default_engine(self.ckksCfg.logN, self)
         logger.info(
-            "CkksEngine %s ready: logN=%d levels=%d special=%d pallas=%s "
-            "mxu=%s",
+            "CkksEngine %s ready: logN=%d levels=%d special=%d "
+            "pallas_mxu=%s mxu=%s",
             self.id[:8], self.ckksCfg.logN, self.num_levels,
-            self.ckksCfg.num_special_primes, self.use_pallas_ntt,
+            self.ckksCfg.num_special_primes, self.use_pallas_mxu,
             self.use_mxu_ntt,
         )
 
@@ -1200,10 +1183,33 @@ class CkksEngine:
     # Key switching / multiplication.
     # ------------------------------------------------------------------
 
+    def _ksk_device(self, ksk: KeySwitchKey):
+        """Device form of a key-switching key's part data.
+
+        On the Pallas MXU path each part's evk rows are pre-split into
+        (lo, hi) u32 pairs in the kernel's [C, P1, P2] layout so the
+        keyswitch inner loop can fuse the part-NTT with both key
+        multiplies (``pallas_mxu.ntt_keymul``).  Cached on the key
+        object — keys are immutable once created."""
+        if not self.use_pallas_mxu:
+            return ksk.data
+        cached = getattr(ksk, "_pmxu_pairs", None)
+        if cached is None:
+            from tiberate_tpu.ops import pallas_mxu
+
+            tables = self._lp(0, True).pmxu_fwd
+            cached = tuple(
+                tuple(pallas_mxu.key_pairs(k, tables) for k in pair)
+                for pair in ksk.data
+            )
+            ksk._pmxu_pairs = cached
+        return cached
+
     def _ksk_args(self, ksk: KeySwitchKey, level: int):
         parts = tuple(self.params.parts[level])
         alloc = self.params.parts_alloc[level]
-        ksk_parts = tuple(ksk.data[g] for g in alloc)
+        data = self._ksk_device(ksk)
+        ksk_parts = tuple(data[g] for g in alloc)
         return ksk_parts, parts
 
     def create_switcher(self, a, ksk: KeySwitchKey, level: int,
@@ -1265,7 +1271,7 @@ class CkksEngine:
                     level=a.level, level_max=self.num_levels
                 )
             step = self._fused_mult_step(a.level)
-            ksk = (evk or self.evk).data
+            ksk = self._ksk_device(evk or self.evk)
             ct0, ct1 = step(a.data[0], a.data[1], b.data[0], b.data[1],
                             tuple(ksk), self._fused_mult_prm(a.level))
             return Ciphertext(
@@ -1788,10 +1794,6 @@ def _intt_exit_to_mont(x, lp):
         from tiberate_tpu.ops import mxu_ntt
 
         return mxu_ntt.intt(x, lp.mxu_inv, epilogue="mont")
-    if lp.tables is not None:
-        from tiberate_tpu.ops import pallas_ntt
-
-        return pallas_ntt.intt(x, lp.tables, epilogue="mont")
     return ntt.intt(x, lp.ipsi, lp.Ninv, lp.pack)
 
 

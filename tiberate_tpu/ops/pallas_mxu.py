@@ -563,6 +563,12 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     return outs
 
 
+# Module-wide interpret override: lets the CPU test suite drive the
+# ENGINE-level kernel paths (which call with interpret=False) without
+# real TPU hardware.
+INTERPRET = False
+
+
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
     """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
 
@@ -570,6 +576,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
     :func:`key_pairs`): returns a tuple of len(keys) arrays, each
     REDC(ntt(x) * k_i) — the fused keyswitch epilogue.
     """
+    interpret = interpret or INTERPRET
     P1, P2 = tables.P1, tables.P2
     lead = x.shape[:-2]
     C = x.shape[-2]
