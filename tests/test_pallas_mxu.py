@@ -157,6 +157,15 @@ def test_pallas_mxu_keymul():
     np.testing.assert_array_equal(
         np.asarray(mont.mont_mult(refb, k0, pack)), np.asarray(t0b))
 
+    # enter variant (encrypt/decrypt pattern: enter_ntt -> mont_mult(key))
+    t0e, t1e = pallas_mxu.ntt_keymul(x, fwd_k, kp, enter=True,
+                                     interpret=True)
+    ref_e = pallas_mxu.ntt(x, fwd_k, enter=True, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(mont.mont_mult(ref_e, k0, pack)), np.asarray(t0e))
+    np.testing.assert_array_equal(
+        np.asarray(mont.mont_mult(ref_e, k1, pack)), np.asarray(t1e))
+
     # per-level channel slices (engine views)
     for sl in (slice(1, None), slice(2, None)):
         kps = tuple((lo[sl], hi[sl]) for lo, hi in kp)

@@ -140,9 +140,20 @@ def _encrypt_core(pt, dc_rns, e0, e1, v, pk0, pk1, lp: LevelPack):
     pte0 = mont.mont_add(pt_t, e0_t, pk)
 
     v_t = mont.tile_unsigned(v, pk)
-    v_t = _enter_ntt(v_t, lp)
-    vpk0 = _intt_exit(mont.mont_mult(v_t, pk0, pk), lp)
-    vpk1 = _intt_exit(mont.mont_mult(v_t, pk1, pk), lp)
+    if isinstance(pk0, tuple):
+        # Pair-form public key (engine._pairs_of): enter-NTT and both
+        # pk multiplies fused in one Pallas kernel.
+        from tiberate_tpu.ops import pallas_mxu
+
+        vpk0, vpk1 = pallas_mxu.ntt_keymul(
+            v_t, lp.pmxu_fwd, (pk0, pk1), enter=True
+        )
+        vpk0 = _intt_exit(vpk0, lp)
+        vpk1 = _intt_exit(vpk1, lp)
+    else:
+        v_t = _enter_ntt(v_t, lp)
+        vpk0 = _intt_exit(mont.mont_mult(v_t, pk0, pk), lp)
+        vpk1 = _intt_exit(mont.mont_mult(v_t, pk1, pk), lp)
 
     ct0 = mont.reduce_2q(mont.mont_add(vpk0, pte0, pk), pk)
     ct1 = mont.reduce_2q(mont.mont_add(vpk1, e1_t, pk), pk)
@@ -174,8 +185,14 @@ def _decrypt_double_core(ct0, ct1, sk, lp, base_lp, final_scalar,
                          rounding_half, base_at, final_round):
     """Reference decrypt_double (``ckks_engine.py:688-739``)."""
     pk = lp.pack
-    a = _enter_ntt(ct1, lp)
-    sa = _intt_exit(mont.mont_mult(a, sk, pk), lp)
+    if isinstance(sk, tuple):
+        from tiberate_tpu.ops import pallas_mxu
+
+        (sa,) = pallas_mxu.ntt_keymul(ct1, lp.pmxu_fwd, (sk,), enter=True)
+        sa = _intt_exit(sa, lp)
+    else:
+        a = _enter_ntt(ct1, lp)
+        sa = _intt_exit(mont.mont_mult(a, sk, pk), lp)
     pt = mont.reduce_2q(mont.mont_add(ct0, sa, pk), pk)
     scaled = _final_scale(pt, base_lp, final_scalar, rounding_half,
                           base_at, final_round)
@@ -430,10 +447,20 @@ def _pc_add_core(pt_m, ct0, lp):
 def _pc_mult_core(pt_ntt, ct0, ct1, lp):
     """pt (cached, NTT+mont) * ct: reference ``ckks_engine.py:2149-2160``."""
     pk = lp.pack
-    c0 = _enter_ntt(ct0, lp)
-    c1 = _enter_ntt(ct1, lp)
-    d0 = _intt_exit_reduce(mont.mont_mult(pt_ntt, c0, pk), lp)
-    d1 = _intt_exit_reduce(mont.mont_mult(pt_ntt, c1, pk), lp)
+    if isinstance(pt_ntt, tuple):
+        from tiberate_tpu.ops import pallas_mxu
+
+        (d0,) = pallas_mxu.ntt_keymul(ct0, lp.pmxu_fwd, (pt_ntt,),
+                                      enter=True)
+        (d1,) = pallas_mxu.ntt_keymul(ct1, lp.pmxu_fwd, (pt_ntt,),
+                                      enter=True)
+        d0 = _intt_exit_reduce(d0, lp)
+        d1 = _intt_exit_reduce(d1, lp)
+    else:
+        c0 = _enter_ntt(ct0, lp)
+        c1 = _enter_ntt(ct1, lp)
+        d0 = _intt_exit_reduce(mont.mont_mult(pt_ntt, c0, pk), lp)
+        d1 = _intt_exit_reduce(mont.mont_mult(pt_ntt, c1, pk), lp)
     return d0, d1
 
 
@@ -952,6 +979,27 @@ class CkksEngine:
     # Encrypt / decrypt.
     # ------------------------------------------------------------------
 
+    def _pk_rows(self, pk: PublicKey, level: int, C: int):
+        """Public-key rows for an encryption at ``level``: (lo, hi) u32
+        pairs on the Pallas MXU path (fused enter-NTT + pk multiplies),
+        plain [C, N] slices otherwise."""
+        pairs = self._pairs_of(pk, pk.data)
+        if pairs is not None:
+            return tuple(
+                tuple(p[level : level + C] for p in pair)
+                for pair in pairs
+            )
+        return (pk.data[0][level : level + C],
+                pk.data[1][level : level + C])
+
+    def _sk_rows(self, sk: SecretKey, level: int, C: int):
+        """Secret-key rows for a double decrypt at ``level``; pair form
+        on the Pallas MXU path (fused enter-NTT + sk multiply)."""
+        pairs = self._pairs_of(sk, sk.data)
+        if pairs is not None:
+            return tuple(p[level : level + C] for p in pairs)
+        return sk.data[level : level + C]
+
     def encrypt(self, pt, pk: PublicKey = None, *, level: int = 0
                 ) -> Ciphertext:
         """Encrypt encoded coefficients pt ([N] int64 array)."""
@@ -963,9 +1011,7 @@ class CkksEngine:
         e0e1 = self.rng.discrete_gaussian(repeats=2)
         v = self.rng.randint(amax=2, shift=0, repeats=1)[0]
 
-        start = level
-        pk0 = pk.data[0][start : start + C]
-        pk1 = pk.data[1][start : start + C]
+        pk0, pk1 = self._pk_rows(pk, level, C)
         dc_rns = jnp.zeros((C,), dtype=self.params.dtype)
 
         ct0, ct1 = _encrypt_core(
@@ -1014,7 +1060,7 @@ class CkksEngine:
         level = ct.level
         lp = self._lp(level, False)
         C = lp.num_channels
-        sk_data = sk.data[level : level + C]
+        sk_data = self._sk_rows(sk, level, C)
         # Ordinary rows come first in the [C(+S), N] layout; slicing to C
         # rows puts the base prime at row C-1 whether or not the ciphertext
         # carries special channels (the reference's -S-1 indexing on
@@ -1074,8 +1120,7 @@ class CkksEngine:
 
         e0e1 = self.rng.discrete_gaussian(repeats=2)
         v = self.rng.randint(amax=2, shift=0, repeats=1)[0]
-        pk0 = pk.data[0][level : level + C]
-        pk1 = pk.data[1][level : level + C]
+        pk0, pk1 = self._pk_rows(pk, level, C)
 
         ct0, ct1 = _encrypt_core(
             jnp.asarray(pt), jnp.asarray(dc_rns), e0e1[0], e0e1[1], v,
@@ -1103,6 +1148,9 @@ class CkksEngine:
         sk_data = sk.data[level : level + C]
         len_left = C
         use_bias_guard = (len_left >= 3) and self.bias_guard
+
+        if not isinstance(ct, CiphertextTriplet):
+            sk_data = self._sk_rows(sk, level, C)
 
         if isinstance(ct, CiphertextTriplet):
             if not ct.has_flag(FLAGS.NTT_STATE):
@@ -1183,27 +1231,30 @@ class CkksEngine:
     # Key switching / multiplication.
     # ------------------------------------------------------------------
 
-    def _ksk_device(self, ksk: KeySwitchKey):
-        """Device form of a key-switching key's part data.
-
-        On the Pallas MXU path each part's evk rows are pre-split into
-        (lo, hi) u32 pairs in the kernel's [C, P1, P2] layout so the
-        keyswitch inner loop can fuse the part-NTT with both key
-        multiplies (``pallas_mxu.ntt_keymul``).  Cached on the key
-        object — keys are immutable once created."""
+    def _pairs_of(self, obj, arrs):
+        """(lo, hi) u32 pair form of key material for the fused Pallas
+        keymul path (``pallas_mxu.ntt_keymul``), or None when that path
+        is off.  Each leaf array of ``arrs`` becomes a (lo, hi) pair in
+        the kernel's [C, P1, P2] layout; cached on ``obj`` — key
+        material is immutable once created."""
         if not self.use_pallas_mxu:
-            return ksk.data
-        cached = getattr(ksk, "_pmxu_pairs", None)
+            return None
+        cached = getattr(obj, "_pmxu_pairs", None)
         if cached is None:
             from tiberate_tpu.ops import pallas_mxu
 
             tables = self._lp(0, True).pmxu_fwd
-            cached = tuple(
-                tuple(pallas_mxu.key_pairs(k, tables) for k in pair)
-                for pair in ksk.data
+            cached = jax.tree_util.tree_map(
+                lambda a: pallas_mxu.key_pairs(a, tables), arrs
             )
-            ksk._pmxu_pairs = cached
+            obj._pmxu_pairs = cached
         return cached
+
+    def _ksk_device(self, ksk: KeySwitchKey):
+        """Device form of a key-switching key's part data: pair-split
+        evk rows on the Pallas MXU path (the keyswitch inner loop fuses
+        the part-NTT with both key multiplies), plain arrays otherwise."""
+        return self._pairs_of(ksk, ksk.data) or ksk.data
 
     def _ksk_args(self, ksk: KeySwitchKey, level: int):
         parts = tuple(self.params.parts[level])
@@ -1576,7 +1627,13 @@ class CkksEngine:
             if op == "pc_add":
                 pt.cache[level][op] = _prepare_pc_add_cache(encoded, lp)
             else:
-                pt.cache[level][op] = _prepare_pc_mult_cache(encoded, lp)
+                cache = _prepare_pc_mult_cache(encoded, lp)
+                if self.use_pallas_mxu:
+                    # Pair form for the fused enter-NTT + pt multiply.
+                    from tiberate_tpu.ops import pallas_mxu
+
+                    cache = pallas_mxu.key_pairs(cache, lp.pmxu_fwd)
+                pt.cache[level][op] = cache
         return pt.cache[level][op]
 
     def pc_add(self, pt: Plaintext, ct: Ciphertext) -> Ciphertext:

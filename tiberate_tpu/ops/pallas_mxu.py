@@ -652,12 +652,16 @@ def key_pairs(k, tables: KTables):
     )
 
 
-def ntt_keymul(x, fwd: KTables, keys, interpret: bool = False):
+def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
+               interpret: bool = False):
     """Forward NTT fused with per-key Montgomery multiply.
 
     ``keys``: tuple of (klo, khi) pairs from :func:`key_pairs`.  Returns
     a tuple of len(keys) arrays, each ``mont_mult(ntt(x), k_i)`` in
     [0, 2q) — residues mod q identical to the unfused
     ``mont.mont_mult(ntt(x), k)`` chain (reference per-part evk multiply,
-    ``ckks_engine.py:1145-1161``)."""
-    return _apply(x, fwd, "plain", interpret, keys=keys)
+    ``ckks_engine.py:1145-1161``).  With ``enter`` the transform also
+    folds the Montgomery entry (like :func:`ntt` with enter=True), which
+    fuses the encrypt/decrypt pattern enter_ntt -> mont_mult(key)."""
+    return _apply(x, fwd, "enter" if enter else "plain", interpret,
+                  keys=keys)
