@@ -9,6 +9,7 @@ ops/ntt.py) in every variant; lazy [0, 2q) representatives may differ.
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from tiberate_tpu.ops import mxu_ntt, pallas_mxu
@@ -173,6 +174,68 @@ def test_pallas_mxu_keymul():
                                        interpret=True)
         np.testing.assert_array_equal(e0[sl] % qcol[sl],
                                       np.asarray(a0) % qcol[sl])
+
+
+def test_pallas_mxu_keymul_accum():
+    """In-kernel part accumulation: chaining accum= across three 'parts'
+    is bit-identical to the unfused ntt -> mont_mult -> mont_add chain."""
+    from tiberate_tpu.ops import mont
+
+    logN = 8
+    q = _primes(logN, [40, 60])
+    N = 1 << logN
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(17)
+
+    def rand():
+        return jnp.array(np.stack(
+            [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+
+    xs = [rand() for _ in range(3)]
+    ks = [(rand(), rand()) for _ in range(3)]
+
+    fwd_k = pallas_mxu.build_tables(q, logN)
+    pack = mont.ModPack.from_q(q)
+
+    # reference chain
+    d0 = d1 = None
+    for x, (k0, k1) in zip(xs, ks):
+        ref = pallas_mxu.ntt(x, fwd_k, interpret=True)
+        t0 = mont.mont_mult(ref, k0, pack)
+        t1 = mont.mont_mult(ref, k1, pack)
+        if d0 is None:
+            d0, d1 = t0, t1
+        else:
+            d0 = mont.mont_add(d0, t0, pack)
+            d1 = mont.mont_add(d1, t1, pack)
+
+    # fused accumulation chain
+    acc = None
+    for x, (k0, k1) in zip(xs, ks):
+        kp = tuple(pallas_mxu.key_pairs(k, fwd_k) for k in (k0, k1))
+        acc = pallas_mxu.ntt_keymul(x, fwd_k, kp, accum=acc,
+                                    pair_out=True, interpret=True)
+    a0 = pallas_mxu.pair_to_poly(acc[0], fwd_k)
+    a1 = pallas_mxu.pair_to_poly(acc[1], fwd_k)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(a0))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(a1))
+
+    # batched (leading dim), under jit
+    xb = [jnp.stack([x, (x + 3) % qcol]) for x in xs]
+
+    @jax.jit
+    def chain(xb0, xb1, xb2):
+        acc = None
+        for x, (k0, k1) in zip((xb0, xb1, xb2), ks):
+            kp = tuple(pallas_mxu.key_pairs(k, fwd_k) for k in (k0, k1))
+            acc = pallas_mxu.ntt_keymul(x, fwd_k, kp, accum=acc,
+                                        pair_out=True, interpret=True)
+        return (pallas_mxu.pair_to_poly(acc[0], fwd_k),
+                pallas_mxu.pair_to_poly(acc[1], fwd_k))
+
+    b0, b1 = chain(*xb)
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(b0[0]))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(b1[0]))
 
 
 def test_engine_pmxu_parity(monkeypatch):

@@ -282,32 +282,42 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
     # Per-part chain (measured faster than stacking all parts into one
     # [n_parts, C_sp, N] NTT: 23.1 vs 30.9 ms/ct on v5e — the stacked
     # intermediates outgrow on-chip memory and spill).
-    d0 = None
-    d1 = None
-    for part, (k0, k1) in zip(parts, ksk_parts):
-        plp = lp_ord[part.lo : part.hi]
-        state = _pre_extend(a[part.lo : part.hi], part, plp)
-        ext = _extend(state, part, lp_sp, lvl)
-        if isinstance(k0, tuple):
-            # Pair-form evk rows (engine._ksk_device): the part-NTT and
-            # both key multiplies run in ONE pallas kernel, so the NTT
-            # output never round-trips HBM (reference per-part evk
-            # multiply, ``ckks_engine.py:1145-1161``).
-            from tiberate_tpu.ops import pallas_mxu
+    pair_keys = isinstance(ksk_parts[0][0], tuple)
+    if pair_keys:
+        # Pair-form evk rows (engine._ksk_device): each part's NTT, both
+        # key multiplies, AND the running d0/d1 part-sum run in ONE
+        # pallas kernel per part — the NTT output and the accumulators
+        # never round-trip HBM between parts (reference per-part evk
+        # multiply + part-sum, ``ckks_engine.py:1048-1058, 1145-1161``).
+        from tiberate_tpu.ops import pallas_mxu
 
-            t0, t1 = pallas_mxu.ntt_keymul(
+        acc = None
+        for part, (k0, k1) in zip(parts, ksk_parts):
+            plp = lp_ord[part.lo : part.hi]
+            state = _pre_extend(a[part.lo : part.hi], part, plp)
+            ext = _extend(state, part, lp_sp, lvl)
+            acc = pallas_mxu.ntt_keymul(
                 ext, lp_sp.pmxu_fwd,
                 ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
+                accum=acc, pair_out=True,
             )
-        else:
+        d0 = pallas_mxu.pair_to_poly(acc[0], lp_sp.pmxu_fwd)
+        d1 = pallas_mxu.pair_to_poly(acc[1], lp_sp.pmxu_fwd)
+    else:
+        d0 = None
+        d1 = None
+        for part, (k0, k1) in zip(parts, ksk_parts):
+            plp = lp_ord[part.lo : part.hi]
+            state = _pre_extend(a[part.lo : part.hi], part, plp)
+            ext = _extend(state, part, lp_sp, lvl)
             ext = _ntt_plain(ext, lp_sp)
             t0 = mont.mont_mult(ext, k0[lvl:], lp_sp.pack)
             t1 = mont.mont_mult(ext, k1[lvl:], lp_sp.pack)
-        if d0 is None:
-            d0, d1 = t0, t1
-        else:
-            d0 = mont.mont_add(d0, t0, lp_sp.pack)
-            d1 = mont.mont_add(d1, t1, lp_sp.pack)
+            if d0 is None:
+                d0, d1 = t0, t1
+            else:
+                d0 = mont.mont_add(d0, t0, lp_sp.pack)
+                d1 = mont.mont_add(d1, t1, lp_sp.pack)
 
     d0 = _intt_exit_reduce(d0, lp_sp)
     d1 = _intt_exit_reduce(d1, lp_sp)

@@ -421,13 +421,14 @@ def _recombine_diag(s_ref, L, G, fold_w, q2):
     return out
 
 
-def _make_kernel(L, G, P1, P2, nkeys=0):
+def _make_kernel(L, G, P1, P2, nkeys=0, acc=False):
     nd = 2 * L - 1
 
     def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
         if nkeys:
             krefs = rest[: 2 * nkeys]          # (klo, khi) per key
-            trefs = rest[2 * nkeys : 4 * nkeys]  # (tlo, thi) per key
+            arefs = rest[2 * nkeys : 4 * nkeys] if acc else ()
+            trefs = rest[-2 * nkeys - 1 : -1]    # (tlo, thi) per key
             s_ref = rest[-1]
         else:
             lo_ref, hi_ref, s_ref = rest
@@ -498,6 +499,15 @@ def _make_kernel(L, G, P1, P2, nkeys=0):
                     olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
                     q0, q1, kl, kh,
                 )
+                if acc:
+                    # Running part-sum in VMEM (the reference's d0/d1
+                    # accumulation across keyswitch parts,
+                    # ``ckks_engine.py:1048-1058``): lazy mod-2q add of
+                    # the aliased accumulator block.
+                    tlo, thi = pallas_mont.mont_add_pair(
+                        arefs[2 * i][0, 0], arefs[2 * i + 1][0, 0],
+                        tlo, thi, q2lo, q2hi,
+                    )
                 trefs[2 * i][0, 0] = tlo
                 trefs[2 * i + 1][0, 0] = thi
         else:
@@ -512,17 +522,19 @@ def _make_kernel(L, G, P1, P2, nkeys=0):
     static_argnames=("L", "G", "P1", "P2", "interpret"),
 )
 def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
-               interpret=False, keys=()):
+               interpret=False, keys=(), accum=()):
     """xcat: [B, Cg, P1, L*P2] int8 -> u32 [B, Cg, P1, P2] outputs.
 
     Without ``keys``: (lo, hi) of the transform.  With ``keys`` (flat
     (klo, khi) u32 [Cg, P1, P2] per key): (tlo, thi) per key, where
-    t = REDC(out * k) — the fused keyswitch epilogue.
+    t = REDC(out * k) — the fused keyswitch epilogue.  With ``accum``
+    (flat (alo, ahi) u32 [B, Cg, P1, P2] per key, donated): t also adds
+    the running part-sum, t = acc (+) REDC(out * k), lazy mod 2q.
     """
     B, Cg = xcat.shape[:2]
     nd = 2 * L - 1
     nkeys = len(keys) // 2
-    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys)
+    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum))
     grid = (Cg, B)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
@@ -549,17 +561,25 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((1, P1, P2), lambda c, b: (c, z, z),
                          memory_space=pltpu.VMEM)
             for _ in keys
+        ] + [
+            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in accum
         ],
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
+        input_output_aliases={
+            6 + len(keys) + i: i for i in range(len(accum))
+        },
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Cg * L * L * P1 * P2 * (P1 + P2),
             bytes_accessed=B * Cg * P1 * P2 * (L + 8 + 16 * nkeys),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA, *keys)
+    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA,
+      *keys, *accum)
     return outs
 
 
@@ -569,12 +589,17 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
 INTERPRET = False
 
 
-def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
+def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
+           accum=None, pair_out=False):
     """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
 
     With ``keys`` (tuple of (klo, khi) u32 [C, P1, P2] pairs, see
     :func:`key_pairs`): returns a tuple of len(keys) arrays, each
-    REDC(ntt(x) * k_i) — the fused keyswitch epilogue.
+    REDC(ntt(x) * k_i) — the fused keyswitch epilogue.  ``accum``
+    (tuple of (alo, ahi) u32 [..., C, P1, P2] pairs, donated) adds a
+    running part-sum per key inside the kernel.  ``pair_out`` returns
+    (lo, hi) u32 [..., C, P1, P2] pairs instead of merged [..., C, N]
+    polynomials (for chaining accumulators without HBM merges).
     """
     interpret = interpret or INTERPRET
     P1, P2 = tables.P1, tables.P2
@@ -591,6 +616,9 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
 
     nkeys = len(keys) if keys else 0
     n_out = nkeys if nkeys else 1
+    accum = tuple(
+        tuple(p.reshape(B, C, P1, P2) for p in pair) for pair in accum
+    ) if accum is not None else None
     outs = [[] for _ in range(n_out)]
     for g in tables.groups:
         L = g.L
@@ -604,20 +632,28 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None):
         kflat = tuple(
             p[g.c0:g.c1] for pair in (keys or ()) for p in pair
         )
+        aflat = tuple(
+            p[:, g.c0:g.c1] for pair in (accum or ()) for p in pair
+        )
         res = _run_group(
             xcat, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
-            keys=kflat,
+            keys=kflat, accum=aflat,
         )
         for i in range(n_out):
-            lo, hi = res[2 * i], res[2 * i + 1]
-            outs[i].append(
-                lo.astype(jnp.uint64)
-                | (hi.astype(jnp.uint64) << jnp.uint64(32))
-            )
+            outs[i].append((res[2 * i], res[2 * i + 1]))
+
+    def gather(parts, j):
+        if len(parts) == 1:
+            return parts[0][j]
+        return jnp.concatenate([p[j] for p in parts], axis=1)
 
     def finish(parts):
-        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        lo, hi = gather(parts, 0), gather(parts, 1)
+        if pair_out:
+            shape = (*lead, C, P1, P2)
+            return lo.reshape(shape), hi.reshape(shape)
+        out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
         out = out.reshape(B, C, P1, P2)
         if tables.swap:
             out = jnp.swapaxes(out, -1, -2)
@@ -653,7 +689,7 @@ def key_pairs(k, tables: KTables):
 
 
 def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
-               interpret: bool = False):
+               interpret: bool = False, accum=None, pair_out: bool = False):
     """Forward NTT fused with per-key Montgomery multiply.
 
     ``keys``: tuple of (klo, khi) pairs from :func:`key_pairs`.  Returns
@@ -662,6 +698,23 @@ def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
     ``mont.mont_mult(ntt(x), k)`` chain (reference per-part evk multiply,
     ``ckks_engine.py:1145-1161``).  With ``enter`` the transform also
     folds the Montgomery entry (like :func:`ntt` with enter=True), which
-    fuses the encrypt/decrypt pattern enter_ntt -> mont_mult(key)."""
+    fuses the encrypt/decrypt pattern enter_ntt -> mont_mult(key).
+
+    Keyswitch accumulation: ``accum`` (one (alo, ahi) pair per key, as
+    returned with ``pair_out=True``; donated) makes each output
+    acc (+) REDC(ntt(x) * k_i), the lazy mod-2q running part-sum — the
+    whole reference part loop (``ckks_engine.py:1048-1058``) then never
+    leaves the kernel between parts.  Convert the final accumulator with
+    :func:`pair_to_poly`."""
     return _apply(x, fwd, "enter" if enter else "plain", interpret,
-                  keys=keys)
+                  keys=keys, accum=accum, pair_out=pair_out)
+
+
+def pair_to_poly(pair, tables: KTables, dtype=jnp.int64):
+    """(lo, hi) u32 [..., C, P1, P2] pair (from ``pair_out=True``) ->
+    [..., C, N] polynomial array, lazy [0, 2q)."""
+    assert not tables.swap, "pair layout is forward (unswapped) only"
+    lo, hi = pair
+    out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+    *lead, C, P1, P2 = out.shape
+    return out.reshape(*lead, C, P1 * P2).astype(dtype)
