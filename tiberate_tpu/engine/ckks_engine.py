@@ -267,6 +267,49 @@ def _extend(state, part: PartPack, lp_sp: LevelPack, lvl: int):
     return ext
 
 
+def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
+    """Fused iNTT + P-division for one keyswitch accumulator.
+
+    Phase 1 (tiny, [S, N]): inverse-transform the special rows and
+    replay the reference's successive rescale on the special block
+    alone (``ckks_engine.py:1068-1124``) — its row updates involve only
+    special rows, so the per-division P0 row values come out
+    bit-identical to the full-tensor loop.  Phase 2: one Pallas call
+    inverse-transforms the C ordinary rows with the whole division
+    chain (enter, S x (subtract P0, multiply PiRi), exit, reduce) as an
+    in-VMEM epilogue.  Returns canonical [0, q) ordinary rows.
+    """
+    from tiberate_tpu.ops import pallas_mxu
+
+    C = lp_ord.num_channels
+    lp_spec = lp_sp[C:]
+
+    sp = pallas_mxu.pair_to_poly(
+        tuple(p[..., C:, :, :] for p in acc_pair), lp_sp.pmxu_fwd
+    )
+    cur = _intt_exit_reduce(sp, lp_spec)
+    rows = []
+    for i in range(S):
+        r = cur[..., S - 1 - i, :]
+        rows.append(r)
+        if i < S - 1:
+            upd = mont.mont_sub(cur, r[..., None, :], lp_spec.pack)
+            cur = mont.mont_mult(upd, PiRs[i][C:], lp_spec.pack)
+
+    d_ord = pallas_mxu.pair_to_poly(
+        tuple(p[..., :C, :, :] for p in acc_pair), lp_sp.pmxu_fwd
+    )
+    cols = jnp.concatenate([lp_ord.Rs] + [PiRs[i][:C] for i in range(S)],
+                           axis=1).astype(jnp.uint64)  # [C, 1+S]
+    pdc = jnp.stack(
+        [(cols & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+         (cols >> jnp.uint64(32)).astype(jnp.uint32)],
+        axis=-1,
+    ).reshape(C, -1)                                   # [C, 2+2S]
+    p0 = tuple(pallas_mxu.coef_row_pairs(r, lp_ord.pmxu_inv) for r in rows)
+    return pallas_mxu.intt_pdiv(d_ord, lp_ord.pmxu_inv, p0, pdc)
+
+
 def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
                    exit_ntt):
     """create_switcher on one logical shard; returns (c0, c1) ordinary.
@@ -301,8 +344,9 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
                 ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
                 accum=acc, pair_out=True,
             )
-        d0 = pallas_mxu.pair_to_poly(acc[0], lp_sp.pmxu_fwd)
-        d1 = pallas_mxu.pair_to_poly(acc[1], lp_sp.pmxu_fwd)
+        c0 = _pdiv_fused(acc[0], lp_sp, lp_ord, PiRs, S)
+        c1 = _pdiv_fused(acc[1], lp_sp, lp_ord, PiRs, S)
+        return c0, c1
     else:
         d0 = None
         d1 = None

@@ -421,7 +421,7 @@ def _recombine_diag(s_ref, L, G, fold_w, q2):
     return out
 
 
-def _make_kernel(L, G, P1, P2, nkeys=0, acc=False):
+def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
     nd = 2 * L - 1
 
     def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
@@ -430,6 +430,10 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False):
             arefs = rest[2 * nkeys : 4 * nkeys] if acc else ()
             trefs = rest[-2 * nkeys - 1 : -1]    # (tlo, thi) per key
             s_ref = rest[-1]
+        elif pdiv:
+            pdc_ref = rest[0]                  # SMEM [Cg, 2 + 2*pdiv]
+            prefs = rest[1 : 1 + 2 * pdiv]     # (plo, phi) per division
+            lo_ref, hi_ref, s_ref = rest[-3:]
         else:
             lo_ref, hi_ref, s_ref = rest
         c = pl.program_id(0)      # SMEM operands arrive unblocked
@@ -510,6 +514,36 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False):
                     )
                 trefs[2 * i][0, 0] = tlo
                 trefs[2 * i + 1][0, 0] = thi
+        elif pdiv:
+            # Fused keyswitch P-division epilogue (reference successive
+            # rescale by the special primes, ``ckks_engine.py:1068-1124``)
+            # on the iNTT output while it is still in VMEM.  The "mont"
+            # transform variant already keeps the Montgomery factor (the
+            # reference's exit-then-enter round trip is elided); the P0
+            # rows arrive plain and get entered per channel:
+            #   for i: x = REDC((x - REDC(p0_i * Rs)) * PiRi)
+            #   x = reduce_2q(REDC(x))       -> canonical [0, q).
+            rs0 = pdc_ref[c, 0]
+            rs1 = pdc_ref[c, 1]
+            kl = cons_ref[c, 4]
+            kh = cons_ref[c, 5]
+            xlo, xhi = olo, ohi
+            for i in range(pdiv):
+                plo, phi = pallas_mont.mont_mult_pair(
+                    prefs[2 * i][0], prefs[2 * i + 1][0],
+                    rs0, rs1, q0, q1, kl, kh)
+                xlo, xhi = pallas_mont.mont_sub_pair(
+                    xlo, xhi, plo, phi, q2lo, q2hi)
+                xlo, xhi = pallas_mont.mont_mult_pair(
+                    xlo, xhi, pdc_ref[c, 2 + 2 * i], pdc_ref[c, 3 + 2 * i],
+                    q0, q1, kl, kh)
+            xlo, xhi = pallas_mont.mont_reduce_pair(
+                xlo, xhi, q0, q1, kl, kh)
+            qlo = q0 | (q1 << U32(31))
+            qhi = q1 >> U32(1)
+            xlo, xhi = pallas_mont.reduce_2q_pair(xlo, xhi, qlo, qhi)
+            lo_ref[0, 0] = xlo
+            hi_ref[0, 0] = xhi
         else:
             lo_ref[0, 0] = olo
             hi_ref[0, 0] = ohi
@@ -522,7 +556,7 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False):
     static_argnames=("L", "G", "P1", "P2", "interpret"),
 )
 def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
-               interpret=False, keys=(), accum=()):
+               interpret=False, keys=(), accum=(), pdiv=()):
     """xcat: [B, Cg, P1, L*P2] int8 -> u32 [B, Cg, P1, P2] outputs.
 
     Without ``keys``: (lo, hi) of the transform.  With ``keys`` (flat
@@ -530,17 +564,31 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     t = REDC(out * k) — the fused keyswitch epilogue.  With ``accum``
     (flat (alo, ahi) u32 [B, Cg, P1, P2] per key, donated): t also adds
     the running part-sum, t = acc (+) REDC(out * k), lazy mod 2q.
+    With ``pdiv`` = (pdc [Cg, 2+2S] u32, *flat (plo, phi) u32
+    [B, P1, P2] per division): the P-division epilogue runs in-kernel
+    and the output is canonical [0, q).
     """
     B, Cg = xcat.shape[:2]
     nd = 2 * L - 1
     nkeys = len(keys) // 2
-    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum))
+    npd = (len(pdiv) - 1) // 2 if pdiv else 0
+    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
+                          pdiv=npd)
     grid = (Cg, B)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
     n_out = 2 * nkeys if nkeys else 2
+    pd_specs = []
+    if pdiv:
+        pd_specs.append(
+            pl.BlockSpec((Cg, 2 + 2 * npd), lambda c, b: (z, z),
+                         memory_space=pltpu.SMEM))
+        pd_specs.extend(
+            pl.BlockSpec((1, P1, P2), lambda c, b: (b, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2 * npd))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -565,7 +613,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
                          memory_space=pltpu.VMEM)
             for _ in accum
-        ],
+        ] + pd_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
@@ -579,7 +627,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
         ),
         interpret=interpret,
     )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA,
-      *keys, *accum)
+      *keys, *accum, *pdiv)
     return outs
 
 
@@ -590,7 +638,7 @@ INTERPRET = False
 
 
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
-           accum=None, pair_out=False):
+           accum=None, pair_out=False, pdiv=None):
     """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
 
     With ``keys`` (tuple of (klo, khi) u32 [C, P1, P2] pairs, see
@@ -619,6 +667,11 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
     accum = tuple(
         tuple(p.reshape(B, C, P1, P2) for p in pair) for pair in accum
     ) if accum is not None else None
+    if pdiv is not None:
+        pdc, p0_pairs = pdiv
+        p0_flat = tuple(
+            p.reshape(B, P1, P2) for pair in p0_pairs for p in pair
+        )
     outs = [[] for _ in range(n_out)]
     for g in tables.groups:
         L = g.L
@@ -635,10 +688,13 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         aflat = tuple(
             p[:, g.c0:g.c1] for pair in (accum or ()) for p in pair
         )
+        pdflat = (
+            (pdc[g.c0:g.c1],) + p0_flat if pdiv is not None else ()
+        )
         res = _run_group(
             xcat, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
-            keys=kflat, accum=aflat,
+            keys=kflat, accum=aflat, pdiv=pdflat,
         )
         for i in range(n_out):
             outs[i].append((res[2 * i], res[2 * i + 1]))
@@ -708,6 +764,38 @@ def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
     :func:`pair_to_poly`."""
     return _apply(x, fwd, "enter" if enter else "plain", interpret,
                   keys=keys, accum=accum, pair_out=pair_out)
+
+
+def coef_row_pairs(row, tables: KTables):
+    """Coefficient-domain row(s) [..., N] -> (lo, hi) u32 pair in the
+    kernel's internal [..., P1, P2] layout for :func:`intt_pdiv`."""
+    P1, P2 = tables.P1, tables.P2
+    lead = row.shape[:-1]
+    if tables.swap:
+        m = row.reshape(*lead, P2, P1)
+        m = jnp.swapaxes(m, -1, -2)
+    else:
+        m = row.reshape(*lead, P1, P2)
+    mu = m.astype(jnp.uint64)
+    return (
+        (mu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+        (mu >> jnp.uint64(32)).astype(jnp.uint32),
+    )
+
+
+def intt_pdiv(x, inv: KTables, p0_pairs, pdc, interpret: bool = False):
+    """Inverse NTT fused with the keyswitch P-division epilogue.
+
+    x: [..., C, N] ordinary-channel rows (Montgomery form kept through
+    the transform, variant "mont").  ``p0_pairs``: per division i a
+    (plo, phi) pair of the special-row value (from :func:`coef_row_pairs`,
+    batch dims matching x's lead dims).  ``pdc``: u32 [C, 2 + 2*S] —
+    per channel the base-2^32 pairs of Rs (Montgomery entry) and each
+    division's PiRi = P_i^-1 * R.  Returns canonical [0, q) rows:
+    residue-identical to the reference's successive rescale
+    (``ckks_engine.py:1068-1124``) followed by mont_reduce + reduce_2q.
+    """
+    return _apply(x, inv, "mont", interpret, pdiv=(pdc, p0_pairs))
 
 
 def pair_to_poly(pair, tables: KTables, dtype=jnp.int64):
