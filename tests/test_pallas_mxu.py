@@ -238,6 +238,48 @@ def test_pallas_mxu_keymul_accum():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(b1[0]))
 
 
+def test_pallas_mxu_ntt_tensor():
+    """Fused tensor product: bit-identical to the unfused
+    enter_ntt -> mont_mult / mont_add chain on the same kernel."""
+    from tiberate_tpu.ops import mont
+
+    logN = 8
+    q = _primes(logN, [40, 60])
+    N = 1 << logN
+    rng = np.random.default_rng(23)
+
+    def rand():
+        return jnp.array(np.stack(
+            [rng.integers(0, qi, N, dtype=np.int64) for qi in q]))
+
+    x0, x1, y0, y1 = rand(), rand(), rand(), rand()
+    fwd_k = pallas_mxu.build_tables(q, logN)
+    pack = mont.ModPack.from_q(q)
+
+    X0 = pallas_mxu.ntt(x0, fwd_k, enter=True, interpret=True)
+    X1 = pallas_mxu.ntt(x1, fwd_k, enter=True, interpret=True)
+    Y0 = pallas_mxu.ntt(y0, fwd_k, enter=True, interpret=True)
+    Y1 = pallas_mxu.ntt(y1, fwd_k, enter=True, interpret=True)
+    e0 = mont.mont_mult(X0, Y0, pack)
+    e1 = mont.mont_add(mont.mont_mult(X0, Y1, pack),
+                       mont.mont_mult(X1, Y0, pack), pack)
+    e2 = mont.mont_mult(X1, Y1, pack)
+
+    d0, d1, d2 = pallas_mxu.ntt_tensor(x0, x1, y0, y1, fwd_k,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(d2))
+
+    # batched
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    xb = tuple(jnp.stack([v, (v + 5) % qcol]) for v in (x0, x1, y0, y1))
+    b0, b1, b2 = pallas_mxu.ntt_tensor(*xb, fwd_k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(b0[0]))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(b1[0]))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(b2[0]))
+
+
 def test_engine_pmxu_parity(monkeypatch):
     """Engine with the Pallas MXU path on (incl. the fused keyswitch
     ntt_keymul) produces bit-identical ciphertexts to the radix-2 engine:

@@ -418,6 +418,12 @@ def _ccmult_tensor_core(x0, x1, y0, y1, lp):
     """Tensor product in the NTT domain (reference ``ckks_engine.py:1328-
     1339``): d0 = x0y0, d1 = x0y1 + x1y0, d2 = x1y1."""
     pk = lp.pack
+    if lp.pmxu_fwd is not None:
+        from tiberate_tpu.ops import pallas_mxu
+
+        # All four enter-NTTs and the three Montgomery products in one
+        # Pallas call per channel group (bit-identical results).
+        return pallas_mxu.ntt_tensor(x0, x1, y0, y1, lp.pmxu_fwd)
     x0 = _enter_ntt(x0, lp)
     x1 = _enter_ntt(x1, lp)
     y0 = _enter_ntt(y0, lp)

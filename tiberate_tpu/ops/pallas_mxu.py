@@ -421,6 +421,61 @@ def _recombine_diag(s_ref, L, G, fold_w, q2):
     return out
 
 
+def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+                    L, G, P1, P2, q2):
+    """One channel-cell 4-step transform: both limb-matmul steps and both
+    Shoup recombinations, diagonals in the s_ref VMEM scratch.  xcat:
+    [P1, L*P2] int8 limbs -> (olo, ohi) u32 pair in [0, 2q)."""
+    # ---- step A: diagonals of (left-twiddle @ x-limbs) ------------
+    for i in range(L):
+        Ti = jax.lax.dot_general(
+            w1_ref[0, i], xcat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                     # [P1, L*P2]
+        for j in range(L):
+            blk = Ti[:, j * P2:(j + 1) * P2]
+            if i == 0 or j == L - 1:
+                s_ref[i + j] = blk
+            else:
+                s_ref[i + j] = s_ref[i + j] + blk
+
+    def fold_a(g):
+        return (ta_ref[0, g, 0], ta_ref[0, g, 1],
+                ta_ref[0, g, 2], ta_ref[0, g, 3])
+
+    ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2)
+
+    # ---- step B: diagonals of (U-limbs @ right-twiddle) -----------
+    parts = []
+    for j in range(L):
+        sh = LIMB_BITS * j
+        if sh + LIMB_BITS <= 32:
+            limb = (ulo >> U32(sh)) & U32(LIMB_MASK)
+        elif sh >= 32:
+            limb = (uhi >> U32(sh - 32)) & U32(LIMB_MASK)
+        else:
+            limb = ((ulo >> U32(sh)) | (uhi << U32(32 - sh))) \
+                & U32(LIMB_MASK)
+        parts.append(limb.astype(jnp.int8))
+    for j in range(L):
+        Tj = jax.lax.dot_general(
+            parts[j], w2_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )                                     # [P1, L*P2]
+        for i in range(L):
+            blk = Tj[:, i * P2:(i + 1) * P2]
+            if j == 0 or i == L - 1:
+                s_ref[i + j] = blk
+            else:
+                s_ref[i + j] = s_ref[i + j] + blk
+
+    def fold_b(g):
+        return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
+                fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
+
+    return _recombine_diag(s_ref, L, G, fold_b, q2)
+
+
 def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
     nd = 2 * L - 1
 
@@ -443,55 +498,10 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
         q2hi = cons_ref[c, 3]
         q2 = (q0, q1, q2lo, q2hi)
 
-        # ---- step A: diagonals of (left-twiddle @ x-limbs) ------------
-        xcat = x_ref[0, 0]                       # [P1, L*P2] int8
-        for i in range(L):
-            Ti = jax.lax.dot_general(
-                w1_ref[0, i], xcat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )                                     # [P1, L*P2]
-            for j in range(L):
-                blk = Ti[:, j * P2:(j + 1) * P2]
-                if i == 0 or j == L - 1:
-                    s_ref[i + j] = blk
-                else:
-                    s_ref[i + j] = s_ref[i + j] + blk
-
-        def fold_a(g):
-            return (ta_ref[0, g, 0], ta_ref[0, g, 1],
-                    ta_ref[0, g, 2], ta_ref[0, g, 3])
-
-        ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2)
-
-        # ---- step B: diagonals of (U-limbs @ right-twiddle) -----------
-        parts = []
-        for j in range(L):
-            sh = LIMB_BITS * j
-            if sh + LIMB_BITS <= 32:
-                limb = (ulo >> U32(sh)) & U32(LIMB_MASK)
-            elif sh >= 32:
-                limb = (uhi >> U32(sh - 32)) & U32(LIMB_MASK)
-            else:
-                limb = ((ulo >> U32(sh)) | (uhi << U32(32 - sh))) \
-                    & U32(LIMB_MASK)
-            parts.append(limb.astype(jnp.int8))
-        for j in range(L):
-            Tj = jax.lax.dot_general(
-                parts[j], w2_ref[0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )                                     # [P1, L*P2]
-            for i in range(L):
-                blk = Tj[:, i * P2:(i + 1) * P2]
-                if j == 0 or i == L - 1:
-                    s_ref[i + j] = blk
-                else:
-                    s_ref[i + j] = s_ref[i + j] + blk
-
-        def fold_b(g):
-            return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
-                    fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
-
-        olo, ohi = _recombine_diag(s_ref, L, G, fold_b, q2)
+        olo, ohi = _cell_transform(
+            x_ref[0, 0], c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+            L, G, P1, P2, q2,
+        )
         if nkeys:
             # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
             # reference's per-part evk multiply (``ckks_engine.py:
@@ -549,6 +559,147 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
             hi_ref[0, 0] = ohi
 
     return kernel
+
+
+def _make_tensor_kernel(L, G, P1, P2):
+    """Four transforms + CKKS tensor product in one cell: inputs
+    x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
+    d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products, pairs)."""
+    nd = 2 * L - 1
+
+    def kernel(cons_ref, fold_ref, x0_ref, x1_ref, y0_ref, y1_ref,
+               w1_ref, w2_ref, ta_ref,
+               d0lo_ref, d0hi_ref, d1lo_ref, d1hi_ref, d2lo_ref, d2hi_ref,
+               s_ref):
+        c = pl.program_id(0)
+        q0 = cons_ref[c, 0]
+        q1 = cons_ref[c, 1]
+        q2lo = cons_ref[c, 2]
+        q2hi = cons_ref[c, 3]
+        kl = cons_ref[c, 4]
+        kh = cons_ref[c, 5]
+        q2 = (q0, q1, q2lo, q2hi)
+
+        def T(ref):
+            return _cell_transform(ref[0, 0], c, fold_ref, w1_ref, w2_ref,
+                                   ta_ref, s_ref, L, G, P1, P2, q2)
+
+        def mul(a, b):
+            return pallas_mont.mont_mult_pair(a[0], a[1], b[0], b[1],
+                                              q0, q1, kl, kh)
+
+        X0 = T(x0_ref)
+        X1 = T(x1_ref)
+        Y0 = T(y0_ref)
+        d0lo_ref[0, 0], d0hi_ref[0, 0] = mul(X0, Y0)
+        t10 = mul(X1, Y0)
+        Y1 = T(y1_ref)
+        d1lo_ref[0, 0], d1hi_ref[0, 0] = pallas_mont.mont_add_pair(
+            *mul(X0, Y1), *t10, q2lo, q2hi)
+        d2lo_ref[0, 0], d2hi_ref[0, 0] = mul(X1, Y1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "G", "P1", "P2", "interpret"),
+)
+def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
+                      interpret=False):
+    """xcats: four [B, Cg, P1, L*P2] int8 limb tensors -> six u32
+    [B, Cg, P1, P2] outputs (d0, d1, d2 as (lo, hi) pairs)."""
+    B, Cg = xcats[0].shape[:2]
+    nd = 2 * L - 1
+    kernel = _make_tensor_kernel(L, G, P1, P2)
+    grid = (Cg, B)
+    z = np.int32(0)
+    x_spec = pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Cg, 6), lambda c, b: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
+                         memory_space=pltpu.SMEM),
+            x_spec, x_spec, x_spec, x_spec,
+            pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 6,
+        out_shape=[out_shape] * 6,
+        scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * Cg * L * L * P1 * P2 * (P1 + P2),
+            bytes_accessed=B * Cg * P1 * P2 * (4 * L + 24),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(consts, folds.reshape(folds.shape[0], -1), *xcats, W1, W2, TA)
+
+
+def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
+               interpret: bool = False):
+    """CKKS tensor product fused into one Pallas call per channel group:
+    NTT of all four ciphertext polynomials plus the three Montgomery
+    products (d0, d1, d2) = (x0y0, x0y1 + x1y0, x1y1) — bit-identical to
+    enter_ntt -> mont_mult/mont_add (reference tensor product,
+    ``ckks_engine.py:1328-1339``) with four fewer HBM round trips."""
+    interpret = interpret or INTERPRET
+    tables = fwd
+    P1, P2 = tables.P1, tables.P2
+    lead = x0.shape[:-2]
+    C = x0.shape[-2]
+    N = P1 * P2
+    B = int(np.prod(lead)) if lead else 1
+    variant = "enter" if enter else "plain"
+
+    def limbs(x):
+        assert not tables.swap
+        xm = x.reshape(*lead, C, P1, P2).reshape(B, C, P1, P2)
+        xg = xm.astype(jnp.uint64)
+        return xg
+
+    xs = [limbs(v) for v in (x0, x1, y0, y1)]
+    outs = [[] for _ in range(6)]
+    for g in tables.groups:
+        L = g.L
+        xcats = tuple(
+            jnp.concatenate(
+                [((xg[:, g.c0:g.c1] >> jnp.uint64(LIMB_BITS * j))
+                  & jnp.uint64(LIMB_MASK)).astype(jnp.int8)
+                 for j in range(L)],
+                axis=-1,
+            )
+            for xg in xs
+        )
+        folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
+        res = _run_tensor_group(
+            xcats, g.W1, g.W2, g.TA, g.consts, folds,
+            L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
+        )
+        for i in range(6):
+            outs[i].append(res[i])
+
+    def finish(i):
+        lo = (outs[2 * i][0] if len(outs[2 * i]) == 1
+              else jnp.concatenate(outs[2 * i], axis=1))
+        hi = (outs[2 * i + 1][0] if len(outs[2 * i + 1]) == 1
+              else jnp.concatenate(outs[2 * i + 1], axis=1))
+        out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+        out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
+        return out.astype(x0.dtype)
+
+    return finish(0), finish(1), finish(2)
 
 
 @functools.partial(
