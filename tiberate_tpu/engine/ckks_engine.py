@@ -311,13 +311,21 @@ def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
 
 
 def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                   exit_ntt):
+                   exit_ntt, a_ntt=None, inpart=None):
     """create_switcher on one logical shard; returns (c0, c1) ordinary.
 
     The reference's per-device loops, pinned-buffer hops and part-sum
     all-reduce (``ckks_engine.py:978-1058``) collapse to a part loop whose
     partial products accumulate in-register; on a sharded mesh the final
     accumulation becomes a psum over the channel axis.
+
+    ``a_ntt`` + ``inpart`` (= (diag_keys, part_tbls), see
+    ``CkksEngine._ksk_inpart``) enable the in-part shortcut: the basis
+    extension is the identity on a part's own channels (reference
+    ``ckks_engine.py:906-951``), so when the caller already holds the
+    NTT form of ``a`` (relinearize: the tensor product's d2), those rows'
+    key products seed the accumulator directly and each part's kernel
+    transforms only its out-of-part rows (``KTables.skip_range``).
     """
     if exit_ntt:
         a = _intt_exit_reduce(a, lp_ord)
@@ -335,12 +343,36 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
         from tiberate_tpu.ops import pallas_mxu
 
         acc = None
-        for part, (k0, k1) in zip(parts, ksk_parts):
+        tbls = (lp_sp.pmxu_fwd,) * len(parts)
+        if a_ntt is not None and inpart is not None:
+            diag_keys, part_tbls = inpart
+            C = lp_ord.num_channels
+            C_sp = lp_sp.num_channels
+            P1, P2 = lp_sp.pmxu_fwd.P1, lp_sp.pmxu_fwd.P2
+            u32, u64 = jnp.uint32, jnp.uint64
+
+            t0 = mont.mont_mult(a_ntt, diag_keys[0], lp_ord.pack)
+            t1 = mont.mont_mult(a_ntt, diag_keys[1], lp_ord.pack)
+
+            def to_acc(t):
+                u = t.astype(u64).reshape(*t.shape[:-1], P1, P2)
+                z = jnp.zeros((*t.shape[:-2], C_sp - C, P1, P2), u32)
+                return (
+                    jnp.concatenate(
+                        [(u & u64(0xFFFFFFFF)).astype(u32), z], axis=-3),
+                    jnp.concatenate(
+                        [(u >> u64(32)).astype(u32), z], axis=-3),
+                )
+
+            acc = (to_acc(t0), to_acc(t1))
+            tbls = part_tbls
+
+        for part, tbl, (k0, k1) in zip(parts, tbls, ksk_parts):
             plp = lp_ord[part.lo : part.hi]
             state = _pre_extend(a[part.lo : part.hi], part, plp)
             ext = _extend(state, part, lp_sp, lvl)
             acc = pallas_mxu.ntt_keymul(
-                ext, lp_sp.pmxu_fwd,
+                ext, tbl,
                 ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
                 accum=acc, pair_out=True,
             )
@@ -437,13 +469,15 @@ def _ccmult_tensor_core(x0, x1, y0, y1, lp):
 
 
 @functools.partial(jax.jit, static_argnames=("lvl", "S"))
-def _relin_core(d0, d1, d2, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S):
+def _relin_core(d0, d1, d2, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
+                inpart=None):
     """relinearize (reference ``ckks_engine.py:1358-1394``)."""
+    d2_ntt = d2
     d0 = _intt_exit_reduce(d0, lp_ord)
     d1 = _intt_exit_reduce(d1, lp_ord)
     d2 = _intt_exit_reduce(d2, lp_ord)
     c0, c1 = _switcher_body(d2, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl,
-                            S, False)
+                            S, False, a_ntt=d2_ntt, inpart=inpart)
     ct0 = mont.reduce_2q(d0 + c0, lp_ord.pack)
     ct1 = mont.reduce_2q(d1 + c1, lp_ord.pack)
     return ct0, ct1
@@ -794,6 +828,43 @@ class CkksEngine:
 
     def _lp(self, lvl, special=False):
         return self.params.lp(lvl, special)
+
+    @functools.cache
+    def _part_skip_tables(self, level: int):
+        """Per-part forward-table views that exclude the part's own
+        channels (the keyswitch in-part shortcut; see
+        ``_switcher_body``).  None off the Pallas MXU path."""
+        lp_sp = self._lp(level, True)
+        if lp_sp.pmxu_fwd is None:
+            return None
+        return tuple(
+            lp_sp.pmxu_fwd.skip_range(p.lo, p.hi)
+            for p in self.params.parts[level]
+        )
+
+    def _ksk_inpart(self, ksk: KeySwitchKey, level: int):
+        """(diag_keys, part_tbls) for the keyswitch in-part shortcut:
+        ``diag_keys[i][j]`` is row j of part(j)'s evk component i — the
+        key the identity extension row multiplies — and ``part_tbls``
+        the per-part skip-range table views.  Cached on the ksk."""
+        tbls = self._part_skip_tables(level)
+        if tbls is None:
+            return None
+        cache = getattr(ksk, "_pmxu_diag", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(ksk, "_pmxu_diag", cache)
+        if level not in cache:
+            alloc = self.params.parts_alloc[level]
+            parts = self.params.parts[level]
+            rows = [[], []]
+            for g, pt in zip(alloc, parts):
+                for i in range(2):
+                    rows[i].append(
+                        ksk.data[g][i][level + pt.lo : level + pt.hi]
+                    )
+            cache[level] = tuple(jnp.concatenate(r, axis=0) for r in rows)
+        return cache[level], tbls
 
     @functools.cache
     def _fused_mult_step(self, level: int):
@@ -1376,7 +1447,9 @@ class CkksEngine:
         # Fast path: the whole rescale -> tensor -> relinearize/keyswitch
         # pipeline as ONE compiled program per level (~1.8x over chained
         # per-op dispatches; measured 40.6 -> 23 ms at logN15).
-        if pre_rescale and post_relin:
+        # (cached prm embeds evk-derived in-part diagonal keys, so the
+        # cached fast path only serves the engine's own evk)
+        if pre_rescale and post_relin and (evk is None or evk is self.evk):
             if a.level + 1 >= self.num_levels:
                 raise errors.MaximumLevelError(
                     level=a.level, level_max=self.num_levels
@@ -1431,6 +1504,7 @@ class CkksEngine:
             self._lp(level, True), self._lp(level, False),
             tuple(self.params.PiRs[level]),
             level, self.ckksCfg.num_special_primes,
+            inpart=self._ksk_inpart(evk, level),
         )
         return Ciphertext(data=(ct0, ct1), level=level, **self._meta())
 

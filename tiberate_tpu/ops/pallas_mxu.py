@@ -177,6 +177,29 @@ class KTables:
         scalars = {k: v[start:stop] for k, v in self.scalars.items()}
         return KTables(tuple(groups), scalars, self.P1, self.P2, self.swap)
 
+    def skip_range(self, lo: int, hi: int):
+        """View that EXCLUDES channels [lo, hi), keeping ORIGINAL channel
+        coordinates: group (c0, c1) still index the full channel space, so
+        ``_apply`` slices inputs/keys/accum of the full shape and the
+        kernel transforms only the kept rows.  With an accumulator the
+        skipped rows pass through from it unchanged (``_apply``'s
+        gap fill) — the keyswitch in-part shortcut: a part's own rows of
+        the extension equal the input polynomial, whose NTT the caller
+        already has (reference basis extension, ``ckks_engine.py:906-951``,
+        is the identity on the part's own channels)."""
+        groups = []
+        for g in self.groups:
+            for a, b in ((g.c0, min(g.c1, lo)), (max(g.c0, hi), g.c1)):
+                if b <= a:
+                    continue
+                ga, gb = a - g.c0, b - g.c0
+                groups.append(KGroup(
+                    L=g.L, c0=a, c1=b, W1=g.W1[ga:gb], W2=g.W2[ga:gb],
+                    TA=g.TA[ga:gb], consts=g.consts[ga:gb],
+                ))
+        return KTables(tuple(groups), self.scalars, self.P1, self.P2,
+                       self.swap)
+
 
 def _shoup(w: int, q: int) -> int:
     """floor(w * 2^62 / q); fold constants satisfy w < q < 2^62."""
@@ -850,13 +873,29 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         for i in range(n_out):
             outs[i].append((res[2 * i], res[2 * i + 1]))
 
-    def gather(parts, j):
-        if len(parts) == 1:
-            return parts[0][j]
-        return jnp.concatenate([p[j] for p in parts], axis=1)
+    def gather(parts, j, acc_pair=None):
+        """Concatenate group outputs in channel order; channels not
+        covered by any group (``skip_range`` views) pass through from
+        the accumulator."""
+        segs = []
+        pos = 0
+        for g, p in zip(tables.groups, parts):
+            if g.c0 > pos:
+                segs.append(acc_pair[j][:, pos:g.c0])
+            segs.append(p[j])
+            pos = g.c1
+        if pos < C:
+            segs.append(acc_pair[j][:, pos:C])
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
 
-    def finish(parts):
-        lo, hi = gather(parts, 0), gather(parts, 1)
+    covered = sum(g.c1 - g.c0 for g in tables.groups)
+    if covered != C and accum is None:
+        raise ValueError(
+            "skip_range tables need an accumulator to fill skipped rows"
+        )
+
+    def finish(parts, acc_pair=None):
+        lo, hi = gather(parts, 0, acc_pair), gather(parts, 1, acc_pair)
         if pair_out:
             shape = (*lead, C, P1, P2)
             return lo.reshape(shape), hi.reshape(shape)
@@ -868,7 +907,10 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         return out.astype(x.dtype)
 
     if nkeys:
-        return tuple(finish(p) for p in outs)
+        return tuple(
+            finish(p, accum[i] if accum else None)
+            for i, p in enumerate(outs)
+        )
     return finish(outs[0])
 
 

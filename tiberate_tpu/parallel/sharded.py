@@ -16,7 +16,8 @@ from tiberate_tpu.engine.ckks_engine import (
 )
 
 
-def mult_step_params(eng, level: int = 0, pre_rescale: bool = True):
+def mult_step_params(eng, level: int = 0, pre_rescale: bool = True,
+                     ksk=None):
     """The parameter pytree for :func:`make_mult_step`'s step function.
 
     Passed as a jit ARGUMENT (not a closure constant): closed-over arrays
@@ -34,6 +35,7 @@ def mult_step_params(eng, level: int = 0, pre_rescale: bool = True):
         lp_sp=eng._lp(work_level, True),
         parts=tuple(eng.params.parts[work_level]),
         PiRs=tuple(eng.params.PiRs[work_level]),
+        inpart=eng._ksk_inpart(ksk or eng.evk, work_level),
     )
 
 
@@ -62,6 +64,7 @@ def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
         return _relin_core(
             d0, d1, d2, ksk_sel, prm["parts"], prm["lp_sp"],
             prm["lp_ord"], prm["PiRs"], work_level, S,
+            inpart=prm["inpart"],
         )
 
     return step
