@@ -50,11 +50,17 @@ def _roofline_ct_per_s(eng, work_level, hbm_gbps=819.0,
     P1 = 1 << ((N.bit_length() - 1) // 2)   # logN1 = logN // 2
     P2 = N // P1
 
+    # single-lane (30-bit) kernels fold in one u32 lane: ~45 vector ops
+    # per group Shoup vs ~190 on the u32-pair path, groups of 2 diagonals
+    single = eng.ckksCfg.buffer_bit_length <= 31
+    gk = 2 if single else GROUP_K
+    ops_per_fold = 45 if single else 190
+
     def row_cost(qi):
         L = limbs_for_bits(qi.bit_length() + 1)
-        G = -(-(2 * L - 1) // GROUP_K)
+        G = -(-(2 * L - 1) // gk)
         mxu = L * L * P1 * P2 * (P1 + P2)          # int8 MACs
-        vpu = N * (2 * G * 190 + 6 * L)            # u32 vector ops
+        vpu = N * (2 * G * ops_per_fold + 6 * L)   # u32 vector ops
         return mxu, vpu
 
     # per-pass row multiset: (q value, number of passes over that row)
@@ -112,6 +118,19 @@ def main():
         cfg = toy_config(logN=8, num_scales=4, num_special_primes=2,
                          scale_bits=30)
         eng = CkksEngine(cfg, seed=7)
+    elif preset.endswith("_30"):
+        # 30-bit buffer mode (int32 residues, single-lane u32 kernels):
+        # e.g. TIBERATE_BENCH_PRESET=logN15_30.  num_scales pinned to the
+        # 62-bit preset's level budget for an equal-depth comparison.
+        from tiberate_tpu.config.ckks_config import CkksConfig
+
+        logN = int(preset[len("logN"):-len("_30")])
+        depth = CkksConfig.parse(f"logN{logN}").num_scales
+        eng = CkksEngine(
+            dict(logN=logN, buffer_bit_length=30, scale_bits=25,
+                 num_special_primes=2, num_scales=depth),
+            seed=7,
+        )
     else:
         eng = CkksEngine(preset, seed=7)
 

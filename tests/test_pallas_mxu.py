@@ -108,6 +108,7 @@ def test_pallas_mxu_30bit_mode():
     inv_o = mxu_ntt.build_tables(q, logN, mont_R_bits=30, inverse=True)
     inv_k = pallas_mxu.build_tables(q, logN, mont_R_bits=30, inverse=True)
 
+    assert fwd_k.lane == "single" and inv_k.lane == "single"
     for fo, fk in (
         (lambda a: mxu_ntt.ntt(a, fwd_o, enter=True),
          lambda a: pallas_mxu.ntt(a, fwd_k, enter=True, interpret=True)),
@@ -119,6 +120,68 @@ def test_pallas_mxu_30bit_mode():
         b = np.asarray(fk(x))
         assert b.dtype == np.int32
         np.testing.assert_array_equal(a % qcol, b % qcol)
+
+
+def test_pallas_mxu_30bit_keymul_tensor():
+    """Single-lane fused epilogues (keymul + accumulation, tensor
+    product): bit-identical to the unfused 30-bit chains."""
+    from tiberate_tpu.ops import mont
+
+    logN = 6
+    N = 1 << logN
+    q, start = [], 2**28 - 1
+    for _ in range(3):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q.append(p)
+    rng = np.random.default_rng(9)
+
+    def rand():
+        return jnp.array(np.stack(
+            [rng.integers(0, qi, N, dtype=np.int64) for qi in q]
+        ).astype(np.int32))
+
+    x, y0, y1 = rand(), rand(), rand()
+    k0, k1 = rand(), rand()
+    fwd_k = pallas_mxu.build_tables(q, logN, mont_R_bits=30)
+    pack = mont.ModPack.from_q(q, R_bits=30)
+
+    keys = tuple(pallas_mxu.key_pairs(k, fwd_k) for k in (k0, k1))
+    X = pallas_mxu.ntt(x, fwd_k, enter=True, interpret=True)
+    e0 = mont.mont_mult(X, k0, pack)
+    e1 = mont.mont_mult(X, k1, pack)
+    d0, d1 = pallas_mxu.ntt_keymul(x, fwd_k, keys, enter=True,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(d1))
+
+    # accumulation across two "parts"
+    acc = pallas_mxu.ntt_keymul(x, fwd_k, keys, enter=True,
+                                interpret=True, pair_out=True)
+    acc2 = pallas_mxu.ntt_keymul(y0, fwd_k, keys, enter=True,
+                                 interpret=True, accum=acc, pair_out=True)
+    Y = pallas_mxu.ntt(y0, fwd_k, enter=True, interpret=True)
+    for i, ki in enumerate((k0, k1)):
+        want = mont.mont_add(mont.mont_mult(X, ki, pack),
+                             mont.mont_mult(Y, ki, pack), pack)
+        got = pallas_mxu.pair_to_poly(acc2[i], fwd_k, dtype=jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(want) % np.array(q)[:, None],
+            np.asarray(got) % np.array(q)[:, None])
+
+    # fused tensor product
+    Y0 = pallas_mxu.ntt(y0, fwd_k, enter=True, interpret=True)
+    Y1 = pallas_mxu.ntt(y1, fwd_k, enter=True, interpret=True)
+    K0 = pallas_mxu.ntt(k0, fwd_k, enter=True, interpret=True)
+    e0 = mont.mont_mult(X, Y0, pack)
+    e1 = mont.mont_add(mont.mont_mult(X, Y1, pack),
+                       mont.mont_mult(K0, Y0, pack), pack)
+    e2 = mont.mont_mult(K0, Y1, pack)
+    d0, d1, d2 = pallas_mxu.ntt_tensor(x, k0, y0, y1, fwd_k,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(d0))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(d1))
+    np.testing.assert_array_equal(np.asarray(e2), np.asarray(d2))
 
 
 def test_pallas_mxu_keymul():
@@ -312,6 +375,42 @@ def test_engine_pmxu_parity(monkeypatch):
     assert err < 5e-5
 
     # rotation: switch_key through the pair-form _ksk_args path
+    rr = e_ref.rotate_single(mr, e_ref.rotk[1])
+    rp = e_pm.rotate_single(mp, e_pm.rotk[1])
+    for a, b in zip(rr.data, rp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_pmxu_parity_30bit(monkeypatch):
+    """Engine parity on the SINGLE-LANE kernel path (buffer_bit_length=30,
+    int32 storage): bit-identical ciphertexts vs the radix-2 engine
+    through encrypt, the fused cc_mult (tensor + keyswitch + P-division),
+    and rotation."""
+    monkeypatch.setattr(pallas_mxu, "INTERPRET", True)
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=2,
+                     scale_bits=21, buffer_bit_length=30)
+    e_ref = CkksEngine(cfg, seed=13, nonce=3, use_pallas_mxu=False)
+    e_pm = CkksEngine(cfg, seed=13, nonce=3, use_pallas_mxu=True)
+    assert e_pm._lp(0, True).pmxu_fwd.lane == "single"
+
+    rng = np.random.default_rng(6)
+    m = rng.uniform(-1, 1, e_ref.num_slots)
+
+    ct_r = e_ref.encodecrypt(m)
+    ct_p = e_pm.encodecrypt(m)
+    for a, b in zip(ct_r.data, ct_p.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    mr = e_ref.cc_mult(ct_r, ct_r)
+    mp = e_pm.cc_mult(ct_p, ct_p)
+    for a, b in zip(mr.data, mp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    err = np.abs(e_pm.decryptcode(mp, is_real=True) - m * m).max()
+    assert err < 5e-3
+
     rr = e_ref.rotate_single(mr, e_ref.rotk[1])
     rp = e_pm.rotate_single(mp, e_pm.rotk[1])
     for a, b in zip(rr.data, rp.data):

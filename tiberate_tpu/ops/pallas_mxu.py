@@ -107,7 +107,12 @@ def _limb_blocks(W_u64: np.ndarray, L: int) -> np.ndarray:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class KGroup:
-    """One contiguous channel range sharing a limb count L."""
+    """One contiguous channel range sharing a limb count L.
+
+    ``gk`` is the recombination group width (diagonals per Shoup fold):
+    GROUP_K (6) on the u32-pair path, 2 on the single-lane path (group
+    sums must stay < 2^31 there, see ``build_tables``).
+    """
 
     L: int          # static
     c0: int         # static
@@ -116,18 +121,20 @@ class KGroup:
     W2: jax.Array   # [Cg, P2, L*P2] int8 (right twiddle limbs along cols)
     TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
     consts: jax.Array  # [Cg, 6] u32: q 31-split, 2q pair, k 31-split
+    gk: int = GROUP_K  # static
 
     def tree_flatten(self):
         return (self.W1, self.W2, self.TA, self.consts), (
-            self.L, self.c0, self.c1)
+            self.L, self.c0, self.c1, self.gk)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*aux, *children)
+        L, c0, c1, gk = aux
+        return cls(L, c0, c1, *children, gk=gk)
 
     @property
     def n_groups(self):
-        return -(-(2 * self.L - 1) // GROUP_K)
+        return -(-(2 * self.L - 1) // self.gk)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -136,7 +143,10 @@ class KTables:
     """One direction's kernel tables (see ``mxu_ntt.MxuNttTables``).
 
     ``scalars[variant]``: [C, G, 4] u32 step-B fold scalars (w pair +
-    Shoup pair per group).
+    Shoup pair per group).  ``lane``: "pair" = u32-pair arithmetic
+    (62-bit moduli), "single" = one u32 lane per value (30-bit moduli,
+    ~3x cheaper folds; requires 4q < 2^30, the reference's own 30-bit
+    REDC precondition, ``mont_cuda_kernel.cuh:11-60``).
     """
 
     groups: tuple
@@ -144,19 +154,20 @@ class KTables:
     P1: int
     P2: int
     swap: bool
+    lane: str = "pair"
 
     def tree_flatten(self):
         names = tuple(sorted(self.scalars))
         return (
             (self.groups, tuple(self.scalars[k] for k in names)),
-            (names, self.P1, self.P2, self.swap),
+            (names, self.P1, self.P2, self.swap, self.lane),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        names, P1, P2, swap = aux
+        names, P1, P2, swap, lane = aux
         groups, svals = children
-        return cls(groups, dict(zip(names, svals)), P1, P2, swap)
+        return cls(groups, dict(zip(names, svals)), P1, P2, swap, lane)
 
     def __getitem__(self, sl: slice):
         """Static channel slice (level views), like MxuNttTables."""
@@ -172,10 +183,11 @@ class KTables:
             groups.append(KGroup(
                 L=g.L, c0=lo - start, c1=hi - start,
                 W1=g.W1[a:b], W2=g.W2[a:b], TA=g.TA[a:b],
-                consts=g.consts[a:b],
+                consts=g.consts[a:b], gk=g.gk,
             ))
         scalars = {k: v[start:stop] for k, v in self.scalars.items()}
-        return KTables(tuple(groups), scalars, self.P1, self.P2, self.swap)
+        return KTables(tuple(groups), scalars, self.P1, self.P2, self.swap,
+                       self.lane)
 
     def skip_range(self, lo: int, hi: int):
         """View that EXCLUDES channels [lo, hi), keeping ORIGINAL channel
@@ -195,10 +207,10 @@ class KTables:
                 ga, gb = a - g.c0, b - g.c0
                 groups.append(KGroup(
                     L=g.L, c0=a, c1=b, W1=g.W1[ga:gb], W2=g.W2[ga:gb],
-                    TA=g.TA[ga:gb], consts=g.consts[ga:gb],
+                    TA=g.TA[ga:gb], consts=g.consts[ga:gb], gk=g.gk,
                 ))
         return KTables(tuple(groups), self.scalars, self.P1, self.P2,
-                       self.swap)
+                       self.swap, self.lane)
 
 
 def _shoup(w: int, q: int) -> int:
@@ -206,9 +218,39 @@ def _shoup(w: int, q: int) -> int:
     return (w << 62) // q
 
 
+def _shoup31(w: int, q: int) -> int:
+    """floor(w * 2^31 / q) — the single-lane Shoup companion (valid for
+    q < 2^30 and fold operands x < 2^31: r = w*x - floor(w'x/2^31)*q
+    lands in [0, 2q) with no correction step)."""
+    return (w << 31) // q
+
+
+def _single_group_bound_ok(L: int, gk: int, P_max: int) -> bool:
+    """Check the single-lane packing invariant: every recombination
+    group's packed diagonal sum stays < 2^31.  Diagonal d of an L x L
+    limb product has min(d+1, L, 2L-1-d) (i, j) pairs, each bounded by
+    (2^LIMB_BITS - 1)^2 per product and P_max accumulation depth."""
+    nd = 2 * L - 1
+    per_pair = (2**LIMB_BITS - 1) ** 2 * P_max
+    for g0 in range(0, nd, gk):
+        total = 0
+        for k in range(g0, min(g0 + gk, nd)):
+            pairs = min(k + 1, L, nd - k)
+            total += pairs * per_pair << (LIMB_BITS * (k - g0))
+        if total >= 1 << 31:
+            return False
+    return True
+
+
 def build_tables(q, logN: int, *, logN1: int | None = None,
                  mont_R_bits: int = 62, inverse: bool = False) -> KTables:
-    """Kernel tables; twiddle math identical to ``mxu_ntt.build_tables``."""
+    """Kernel tables; twiddle math identical to ``mxu_ntt.build_tables``.
+
+    ``mont_R_bits <= 31`` selects the single-lane layout (30-bit mode):
+    fold constants are (w, w') with the 2^31-scaled Shoup companion in
+    one u32 each, groups pack 2 diagonals, and the kernel runs all value
+    arithmetic in one u32 lane (~3x cheaper folds than the pair path).
+    """
     N = 1 << logN
     if logN1 is None:
         logN1 = logN // 2
@@ -217,6 +259,13 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
     R_mont = 1 << mont_R_bits
     _2N = 2 * N
     q = [int(x) for x in q]
+    single = mont_R_bits <= 31
+    if single:
+        assert all(4 * qi < (1 << 30) for qi in q), (
+            "single-lane kernels need 4q < 2^30 (the 30-bit REDC "
+            "precondition)")
+    gk = 2 if single else GROUP_K
+    gbits = LIMB_BITS * gk
 
     br1 = _br_vec(N1, logN1)
     br2 = _br_vec(N2, logN2)
@@ -236,7 +285,11 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
     groups = []
     for c0, c1 in zip(bounds[:-1], bounds[1:]):
         L = Ls[c0]
-        G = -(-(2 * L - 1) // GROUP_K)
+        G = -(-(2 * L - 1) // gk)
+        if single:
+            assert _single_group_bound_ok(L, gk, max(N1, N2)), (
+                f"single-lane group sums overflow u32 at L={L}, "
+                f"P={max(N1, N2)}")
         W1_t, W2_t, TA_t, cons_t = [], [], [], []
         for qi in q[c0:c1]:
             psi = ntt_ops.primitive_root_2N(qi, N)
@@ -255,27 +308,40 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             # right limbs concatenated along columns: [P2, L*P2]
             rl = _limb_blocks(right, L)              # [L, P2a, P2b]
             W2_t.append(np.concatenate(list(rl), axis=1))
-            # TA fold planes per group: w = T * 2^(42g) mod q (+ Shoup)
+            # TA fold planes per group: w = T * 2^(gbits*g) mod q (+ Shoup)
             planes = []
             for g in range(G):
-                cg = pow(2, GROUP_BITS * g, qi)
+                cg = pow(2, gbits * g, qi)
                 ps_g = _power_series(psi, qi, _2N, scale=cg)
                 w = ps_g[eTA]
-                wsh = np.array(
-                    [[_shoup(int(v), qi) for v in row] for row in w],
-                    dtype=np.uint64,
-                )
-                wp = _split31_cols(w.astype(np.uint64))
-                sp = _split31_cols(wsh)
-                planes.append(np.concatenate(
-                    [np.moveaxis(wp, -1, 0), np.moveaxis(sp, -1, 0)]))
+                if single:
+                    wsh = np.array(
+                        [[_shoup31(int(v), qi) for v in row] for row in w],
+                        dtype=np.uint32,
+                    )
+                    z = np.zeros_like(wsh)
+                    planes.append(np.stack(
+                        [w.astype(np.uint32), z, wsh, z]))
+                else:
+                    wsh = np.array(
+                        [[_shoup(int(v), qi) for v in row] for row in w],
+                        dtype=np.uint64,
+                    )
+                    wp = _split31_cols(w.astype(np.uint64))
+                    sp = _split31_cols(wsh)
+                    planes.append(np.concatenate(
+                        [np.moveaxis(wp, -1, 0), np.moveaxis(sp, -1, 0)]))
             TA_t.append(np.stack(planes))            # [G, 4, Pa, Pb]
             k_redc = (R_mont * pow(R_mont, -1, qi) - 1) // qi
-            cons_t.append(np.concatenate([
-                _split31_cols(np.uint64(qi)).reshape(-1),
-                _pair_cols(np.uint64(2 * qi)).reshape(-1),
-                _split31_cols(np.uint64(k_redc)).reshape(-1),
-            ]))
+            if single:
+                cons_t.append(np.array(
+                    [qi, 0, 2 * qi, 0, k_redc, 0], dtype=np.uint32))
+            else:
+                cons_t.append(np.concatenate([
+                    _split31_cols(np.uint64(qi)).reshape(-1),
+                    _pair_cols(np.uint64(2 * qi)).reshape(-1),
+                    _split31_cols(np.uint64(k_redc)).reshape(-1),
+                ]))
 
         groups.append(KGroup(
             L=L, c0=c0, c1=c1,
@@ -283,6 +349,7 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             W2=jnp.array(np.stack(W2_t)),
             TA=jnp.array(np.stack(TA_t)),
             consts=jnp.array(np.stack(cons_t)),
+            gk=gk,
         ))
 
     G_max = max(g.n_groups for g in groups)
@@ -291,9 +358,13 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
         out = np.zeros((len(q), G_max, 4), dtype=np.uint32)
         for ci, (qi, base) in enumerate(zip(q, c_list)):
             for g in range(G_max):
-                w = pow(2, GROUP_BITS * g, qi) * base % qi
-                out[ci, g, :2] = _split31_cols(np.uint64(w))
-                out[ci, g, 2:] = _split31_cols(np.uint64(_shoup(w, qi)))
+                w = pow(2, gbits * g, qi) * base % qi
+                if single:
+                    out[ci, g, 0] = w
+                    out[ci, g, 2] = _shoup31(w, qi)
+                else:
+                    out[ci, g, :2] = _split31_cols(np.uint64(w))
+                    out[ci, g, 2:] = _split31_cols(np.uint64(_shoup(w, qi)))
         return jnp.array(out)
 
     if inverse:
@@ -313,7 +384,8 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             "enter": fold_scalars([R_mont % qi for qi in q]),
         }
         P1, P2 = N1, N2
-    return KTables(tuple(groups), scalars, P1, P2, inverse)
+    return KTables(tuple(groups), scalars, P1, P2, inverse,
+                   "single" if single else "pair")
 
 
 # ----------------------------------------------------------------------
@@ -401,23 +473,105 @@ def _csub2q(lo, hi, q2lo, q2hi):
 
 
 # ----------------------------------------------------------------------
+# Single-lane (30-bit mode) helpers: one u32 per value, 4q < 2^30.
+# The reference's own 30-bit dtype dispatch (``csrc/mont.cpp:17-24``,
+# ``config/ckks_config.py:93-96``) becomes a kernel lane mode here.
+# ----------------------------------------------------------------------
+
+M30 = np.uint32(0x3FFFFFFF)
+
+
+def _mulhi32(a, b):
+    """u32 x u32 -> high 32 bits of the 64-bit product."""
+    M16 = np.uint32(0xFFFF)
+    a0 = a & M16
+    a1 = a >> U32(16)
+    b0 = b & M16
+    b1 = b >> U32(16)
+    lm = a0 * b1
+    ml = a1 * b0
+    t = ((a0 * b0) >> U32(16)) + (lm & M16) + (ml & M16)
+    return a1 * b1 + (lm >> U32(16)) + (ml >> U32(16)) + (t >> U32(16))
+
+
+def _csub32(x, m):
+    return jnp.where(x >= m, x - m, x)
+
+
+def _shoup_mult32(x, w, wp, q):
+    """w * x mod q, lazy [0, 2q); x < 2^31, w < q < 2^30,
+    wp = floor(w * 2^31 / q).  r = w*x - floor(wp*x / 2^31)*q lands in
+    [0, 2q) with no correction (Harvey's bound, q < 2^30)."""
+    hi = _mulhi32(wp, x)
+    lo = wp * x
+    t = (hi << U32(1)) | (lo >> U32(31))
+    return w * x - t * q
+
+
+def _redc30(a, b, k, q):
+    """REDC_{2^30}(a*b), lazy [0, 2q); a, b < 2q, 4q < 2^30,
+    k = (R*R^-1 - 1)/q."""
+    p_lo = a * b
+    p_hi = _mulhi32(a, b)
+    m = (p_lo * k) & M30
+    mq_lo = m * q
+    mq_hi = _mulhi32(m, q)
+    s_lo = p_lo + mq_lo
+    carry = (s_lo < p_lo).astype(U32)
+    s_hi = p_hi + mq_hi + carry
+    return (s_hi << U32(2)) | (s_lo >> U32(30))
+
+
+def _redc_reduce30(x, k, q):
+    """REDC_{2^30}(x) — the Montgomery exit; x < 2q -> result < 2q."""
+    m = (x * k) & M30
+    mq_lo = m * q
+    mq_hi = _mulhi32(m, q)
+    s_lo = x + mq_lo
+    carry = (s_lo < x).astype(U32)
+    s_hi = mq_hi + carry
+    return (s_hi << U32(2)) | (s_lo >> U32(30))
+
+
+def _sub2q32(a, b, q2):
+    """(a - b) mod 2q, lazy; a, b in [0, 2q)."""
+    return _csub32(a + (q2 - b), q2)
+
+
+# ----------------------------------------------------------------------
 # The kernel.
 # ----------------------------------------------------------------------
 
 
-def _recombine_diag(s_ref, L, G, fold_w, q2):
+def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
     """VMEM diagonals -> folded pair [Pa, Pb] in [0, 2q).
 
     fold_w(g) -> (w0, w1, s0, s1) 31-split arrays/scalars;
     q2 = (q0, q1, q2lo, q2hi).  Group sums stay < 2^60 (GROUP_K bound),
     inside _shoup_mult's x < 2^61 precondition.
+
+    Single-lane mode: q2 = (q, 0, 2q, 0) full u32 values, fold_w slots
+    (0, 2) = (w, w'); groups pack ``gk`` = 2 diagonals (< 2^31 sums,
+    ``_single_group_bound_ok``); the hi half returned is zero.
     """
     q0, q1, q2lo, q2hi = q2
     nd = 2 * L - 1
+    if single:
+        out = None
+        for g in range(G):
+            k0 = g * gk
+            k1 = min(k0 + gk, nd)
+            a = s_ref[k0].astype(U32)
+            for k in range(k0 + 1, k1):
+                a = a + (s_ref[k].astype(U32) << U32(LIMB_BITS * (k - k0)))
+            w = fold_w(g)
+            v = _shoup_mult32(a, w[0], w[2], q0)
+            out = v if out is None else _csub32(out + v, q2lo)
+        return out, jnp.zeros_like(out)
     out = None
     for g in range(G):
-        k0 = g * GROUP_K
-        k1 = min(k0 + GROUP_K, nd)
+        k0 = g * gk
+        k1 = min(k0 + gk, nd)
         alo = ahi = None
         for k in range(k0, k1):
             s = s_ref[k].astype(U32)            # < 2^25
@@ -445,7 +599,7 @@ def _recombine_diag(s_ref, L, G, fold_w, q2):
 
 
 def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-                    L, G, P1, P2, q2):
+                    L, G, P1, P2, q2, single=False, gk=GROUP_K):
     """One channel-cell 4-step transform: both limb-matmul steps and both
     Shoup recombinations, diagonals in the s_ref VMEM scratch.  xcat:
     [P1, L*P2] int8 limbs -> (olo, ohi) u32 pair in [0, 2q)."""
@@ -466,13 +620,13 @@ def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
         return (ta_ref[0, g, 0], ta_ref[0, g, 1],
                 ta_ref[0, g, 2], ta_ref[0, g, 3])
 
-    ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2)
+    ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2, single, gk)
 
     # ---- step B: diagonals of (U-limbs @ right-twiddle) -----------
     parts = []
     for j in range(L):
         sh = LIMB_BITS * j
-        if sh + LIMB_BITS <= 32:
+        if single or sh + LIMB_BITS <= 32:
             limb = (ulo >> U32(sh)) & U32(LIMB_MASK)
         elif sh >= 32:
             limb = (uhi >> U32(sh - 32)) & U32(LIMB_MASK)
@@ -496,10 +650,11 @@ def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
         return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
                 fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
 
-    return _recombine_diag(s_ref, L, G, fold_b, q2)
+    return _recombine_diag(s_ref, L, G, fold_b, q2, single, gk)
 
 
-def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
+def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
+                 gk=GROUP_K):
     nd = 2 * L - 1
 
     def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
@@ -515,15 +670,15 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
         else:
             lo_ref, hi_ref, s_ref = rest
         c = pl.program_id(0)      # SMEM operands arrive unblocked
-        q0 = cons_ref[c, 0]       # q 31-split
+        q0 = cons_ref[c, 0]       # q 31-split (single: q, 0)
         q1 = cons_ref[c, 1]
-        q2lo = cons_ref[c, 2]     # 2q base-2^32 pair (for compares)
+        q2lo = cons_ref[c, 2]     # 2q base-2^32 pair (single: 2q, 0)
         q2hi = cons_ref[c, 3]
         q2 = (q0, q1, q2lo, q2hi)
 
         olo, ohi = _cell_transform(
             x_ref[0, 0], c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-            L, G, P1, P2, q2,
+            L, G, P1, P2, q2, single, gk,
         )
         if nkeys:
             # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
@@ -532,6 +687,13 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
             kl = cons_ref[c, 4]
             kh = cons_ref[c, 5]
             for i in range(nkeys):
+                if single:
+                    t = _redc30(olo, krefs[2 * i][0], kl, q0)
+                    if acc:
+                        t = _csub32(arefs[2 * i][0, 0] + t, q2lo)
+                    trefs[2 * i][0, 0] = t
+                    trefs[2 * i + 1][0, 0] = jnp.zeros_like(t)
+                    continue
                 tlo, thi = pallas_mont.mont_mult_pair(
                     olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
                     q0, q1, kl, kh,
@@ -556,10 +718,22 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
             # rows arrive plain and get entered per channel:
             #   for i: x = REDC((x - REDC(p0_i * Rs)) * PiRi)
             #   x = reduce_2q(REDC(x))       -> canonical [0, q).
-            rs0 = pdc_ref[c, 0]
-            rs1 = pdc_ref[c, 1]
             kl = cons_ref[c, 4]
             kh = cons_ref[c, 5]
+            if single:
+                x = olo
+                rs = pdc_ref[c, 0]
+                for i in range(pdiv):
+                    pe = _redc30(prefs[2 * i][0], rs, kl, q0)
+                    x = _sub2q32(x, pe, q2lo)
+                    x = _redc30(x, pdc_ref[c, 2 + 2 * i], kl, q0)
+                x = _redc_reduce30(x, kl, q0)
+                x = _csub32(x, q0)
+                lo_ref[0, 0] = x
+                hi_ref[0, 0] = jnp.zeros_like(x)
+                return
+            rs0 = pdc_ref[c, 0]
+            rs1 = pdc_ref[c, 1]
             xlo, xhi = olo, ohi
             for i in range(pdiv):
                 plo, phi = pallas_mont.mont_mult_pair(
@@ -584,7 +758,7 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0):
     return kernel
 
 
-def _make_tensor_kernel(L, G, P1, P2):
+def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
     d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products, pairs)."""
@@ -605,36 +779,54 @@ def _make_tensor_kernel(L, G, P1, P2):
 
         def T(ref):
             return _cell_transform(ref[0, 0], c, fold_ref, w1_ref, w2_ref,
-                                   ta_ref, s_ref, L, G, P1, P2, q2)
+                                   ta_ref, s_ref, L, G, P1, P2, q2,
+                                   single, gk)
 
-        def mul(a, b):
-            return pallas_mont.mont_mult_pair(a[0], a[1], b[0], b[1],
-                                              q0, q1, kl, kh)
+        if single:
+            def mul(a, b):
+                return _redc30(a[0], b[0], kl, q0), None
+
+            def add(a, b):
+                return _csub32(a[0] + b[0], q2lo), None
+
+            def store(lo_ref, hi_ref, v):
+                lo_ref[0, 0] = v[0]
+                hi_ref[0, 0] = jnp.zeros_like(v[0])
+        else:
+            def mul(a, b):
+                return pallas_mont.mont_mult_pair(a[0], a[1], b[0], b[1],
+                                                  q0, q1, kl, kh)
+
+            def add(a, b):
+                return pallas_mont.mont_add_pair(a[0], a[1], b[0], b[1],
+                                                 q2lo, q2hi)
+
+            def store(lo_ref, hi_ref, v):
+                lo_ref[0, 0], hi_ref[0, 0] = v
 
         X0 = T(x0_ref)
         X1 = T(x1_ref)
         Y0 = T(y0_ref)
-        d0lo_ref[0, 0], d0hi_ref[0, 0] = mul(X0, Y0)
+        store(d0lo_ref, d0hi_ref, mul(X0, Y0))
         t10 = mul(X1, Y0)
         Y1 = T(y1_ref)
-        d1lo_ref[0, 0], d1hi_ref[0, 0] = pallas_mont.mont_add_pair(
-            *mul(X0, Y1), *t10, q2lo, q2hi)
-        d2lo_ref[0, 0], d2hi_ref[0, 0] = mul(X1, Y1)
+        store(d1lo_ref, d1hi_ref, add(mul(X0, Y1), t10))
+        store(d2lo_ref, d2hi_ref, mul(X1, Y1))
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret"),
+    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
 )
 def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
-                      interpret=False):
+                      interpret=False, single=False, gk=GROUP_K):
     """xcats: four [B, Cg, P1, L*P2] int8 limb tensors -> six u32
     [B, Cg, P1, P2] outputs (d0, d1, d2 as (lo, hi) pairs)."""
     B, Cg = xcats[0].shape[:2]
     nd = 2 * L - 1
-    kernel = _make_tensor_kernel(L, G, P1, P2)
+    kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
     grid = (Cg, B)
     z = np.int32(0)
     x_spec = pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
@@ -709,6 +901,7 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
         res = _run_tensor_group(
             xcats, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
+            single=tables.lane == "single", gk=g.gk,
         )
         for i in range(6):
             outs[i].append(res[i])
@@ -727,10 +920,11 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret"),
+    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
 )
 def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
-               interpret=False, keys=(), accum=(), pdiv=()):
+               interpret=False, keys=(), accum=(), pdiv=(),
+               single=False, gk=GROUP_K):
     """xcat: [B, Cg, P1, L*P2] int8 -> u32 [B, Cg, P1, P2] outputs.
 
     Without ``keys``: (lo, hi) of the transform.  With ``keys`` (flat
@@ -747,7 +941,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     nkeys = len(keys) // 2
     npd = (len(pdiv) - 1) // 2 if pdiv else 0
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
-                          pdiv=npd)
+                          pdiv=npd, single=single, gk=gk)
     grid = (Cg, B)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
@@ -869,6 +1063,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             xcat, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
+            single=tables.lane == "single", gk=g.gk,
         )
         for i in range(n_out):
             outs[i].append((res[2 * i], res[2 * i + 1]))
