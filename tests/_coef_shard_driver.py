@@ -21,7 +21,7 @@ from tiberate_tpu.ops.mont import ModPack
 from tiberate_tpu.parallel.coef_sharded import make_coef_sharded_ntt
 from tiberate_tpu.utils.primes import find_the_next_prime
 
-logN = 12
+logN = int(os.environ.get("TIBERATE_COEF_LOGN", "12"))
 N = 1 << logN
 qs = [
     find_the_next_prime(2**60 - 1, 2 * N, up=False),

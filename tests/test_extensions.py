@@ -154,7 +154,22 @@ def test_benchmark_registry():
     from tiberate_tpu.extension.benchmarks import benchreg
 
     assert {"single_cmult", "single_pmult", "lat_of_each_level",
-            "linear_feature_wise"} <= set(benchreg)
+            "linear_feature_wise", "batched_inference"} <= set(benchreg)
+
+
+def test_batched_inference_bench():
+    """Encrypted logistic-regression scoring (the BASELINE batched
+    inference shape): feature-wise packed dot product + degree-3
+    sigmoid, exact vs the plain computation."""
+    from tiberate_tpu.extension.benchmarks import benchreg
+
+    res = benchreg.get("batched_inference")().run(
+        preset="toy", features=3, batches=2, iters=1
+    )
+    vals = {m.name: m.value for m in res.metrics}
+    assert vals["max_err"] < 1e-4
+    assert vals["samples_per_s"] > 0
+    assert vals["samples"] == 2 * 128  # batches x num_slots (logN=8)
 
 
 def test_benchmark_result_json():

@@ -162,3 +162,22 @@ def test_coef_sharded_ntt():
     assert "NTT bit-exact: True" in out.stdout
     assert "roundtrip bit-exact: True" in out.stdout
     assert "collective-permute in HLO: True" in out.stdout
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TIBERATE_FULL_TESTS"),
+    reason="logN17 sharded execution is slow; set TIBERATE_FULL_TESTS=1",
+)
+def test_coef_sharded_ntt_logN17():
+    """The multi-host logN17 enabler actually EXECUTES at logN17: the
+    coefficient-sharded NTT runs bit-exact on an 8-device virtual mesh
+    at N = 2^17 (BASELINE 'multi-host sharded NTT, logN=17' row)."""
+    env = dict(os.environ, PYTHONPATH=REPO, TIBERATE_COEF_LOGN="17")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "_coef_shard_driver.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=3000,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "NTT bit-exact: True" in out.stdout
+    assert "roundtrip bit-exact: True" in out.stdout
+    assert "collective-permute in HLO: True" in out.stdout

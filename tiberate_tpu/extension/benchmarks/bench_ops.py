@@ -195,3 +195,72 @@ class LinearFeatureWise(BenchmarkBase):
         res.add_scalar("max_err", float(err.max()))
         res.add_scalar("dim", dim)
         return res
+
+
+@benchreg.register
+class BatchedInference(BenchmarkBase):
+    name = "batched_inference"
+    description = ("encrypted logistic-regression scoring over batches of "
+                   "feature-wise packed ciphertexts (samples in slots)")
+
+    def run(self, preset="toy", features=8, batches=4, iters=3,
+            **kwargs) -> BenchmarkResult:
+        """The BASELINE 'batched encrypted inference' shape: samples fill
+        the slot axis, features are separate ciphertexts (the packing
+        extension's feature-wise layout, reference
+        ``packing/feature_wise_compact.py``), so the dot product needs no
+        rotations — F pc_mults + adds — and the sigmoid is the degree-3
+        polynomial 0.5 + 0.25 z - z^3/48 (two cc_mult levels).  Per-batch
+        work is embarrassingly parallel: under ``CkksEngine(mesh=...)``
+        the batch axis shards over the mesh (benchmarks/SCALING.md).
+        """
+        if preset == "toy":
+            # the scoring chain needs 4 multiplicative levels
+            from tiberate_tpu.config.toy import toy_config
+            from tiberate_tpu.engine import CkksEngine
+
+            eng = CkksEngine(
+                toy_config(logN=8, num_scales=6, num_special_primes=2,
+                           scale_bits=30),
+                seed=7,
+            )
+        else:
+            eng = _make_engine(preset)
+        res = BenchmarkResult(name=f"{self.name}[{preset}]")
+        rng = np.random.default_rng(0)
+        w = rng.uniform(-1, 1, features)
+        bias = float(rng.uniform(-1, 1))
+        xs = rng.uniform(-1, 1, (batches, features, eng.num_slots))
+        cts = [[eng.encodecrypt(xs[b, f]) for f in range(features)]
+               for b in range(batches)]
+        _ = eng.evk
+
+        def score_batch(fcts):
+            z = eng.mult_scalar(fcts[0], float(w[0]))
+            for f in range(1, features):
+                z = eng.cc_add(z, eng.mult_scalar(fcts[f], float(w[f])))
+            z = eng.add_scalar(z, bias)
+            # sigmoid(z) ~ 0.5 + 0.25 z - z^3 / 48 on [-4, 4]
+            z2 = eng.cc_mult(z, z)
+            z3 = eng.cc_mult(z2, eng.level_up(z, z2.level))
+            out = eng.cc_add(
+                eng.mult_scalar(eng.level_up(z, z3.level), 0.25),
+                eng.mult_scalar(z3, -1.0 / 48.0),
+            )
+            return eng.add_scalar(out, 0.5)
+
+        outs = [score_batch(b) for b in cts]  # compile + warmup
+        dt = self.timeit(lambda: [score_batch(b).data[0] for b in cts],
+                         iters=iters)
+        samples = batches * eng.num_slots
+        res.add_scalar("samples_per_s", samples / dt, "samples/s")
+        res.add_scalar("latency_per_batch_ms",
+                       dt / batches * 1e3, "ms")
+
+        zs = (xs * w[None, :, None]).sum(axis=1) + bias
+        expect = 0.5 + 0.25 * zs - zs**3 / 48.0
+        got = np.stack([eng.decryptcode(o, is_real=True) for o in outs])
+        res.add_scalar("max_err", float(np.abs(got - expect).max()))
+        res.add_scalar("samples", samples)
+        res.add_scalar("features", features)
+        return res
