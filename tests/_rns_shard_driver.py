@@ -49,3 +49,17 @@ print("rns-sharded keyswitch bit-exact:", bool(ok))
 print("collectives: all_gather=%d other=%d" % (n_ag, n_other))
 print("single-gather epilogue:", n_ag <= 2 and n_other == 0)
 print("shardings:", sharding)
+
+# scatter_special: special rows round-robined over the shards (near-
+# perfect work scaling, one extra tiny all_gather) — still bit-exact
+ok_sc = True
+for D in (2, 4):
+    mesh = Mesh(np.array(jax.devices()[:D]), axis_names=("rns",))
+    switcher = make_rns_sharded_switcher(eng, 0, mesh, axis="rns",
+                                         scatter_special=True)
+    fn_sc = jax.jit(lambda x: switcher(x, tuple(evk.data)))
+    c0_s, c1_s = fn_sc(jnp.asarray(a))
+    ok_sc = (ok_sc
+             and (np.asarray(c0_ref) == np.asarray(c0_s)).all()
+             and (np.asarray(c1_ref) == np.asarray(c1_s)).all())
+print("scatter_special bit-exact:", bool(ok_sc))

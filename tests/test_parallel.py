@@ -121,6 +121,8 @@ def test_rns_sharded_keyswitch():
     assert "bit-exact: True" in out.stdout
     # distributed epilogue: one input all_gather, no other collective
     assert "single-gather epilogue: True" in out.stdout
+    # special rows round-robined over shards (near-perfect work scaling)
+    assert "scatter_special bit-exact: True" in out.stdout
 
 
 def test_multihost_two_process():

@@ -52,13 +52,23 @@ def _cat_pack(a: ModPack, b: ModPack):
     )
 
 
-def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns"):
+def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
+                              scatter_special: bool = False):
     """Builds ``switcher(a, ksk_parts) -> (c0, c1)`` with 'rns'-sharded
     channels; bit-identical to ``eng.create_switcher`` output.
 
     a: [C_ord, N] (coefficient domain, [0, q)); ksk_parts: the engine ksk
     ``.data`` tuple (full [P+S, N] arrays).  Returns ordinary [C_ord, N],
     block-sharded over ``axis``.
+
+    ``scatter_special``: instead of every shard replicating all S special
+    rows (per-shard work (C/D + S) rows/part — the f(D) wall in
+    benchmarks/SCALING.md), the special rows are round-robined over the
+    shards too (padded with duplicates when S < D) and their values
+    exchanged by ONE tiny all_gather ([ceil(S/D), N] per shard) before
+    the P-division epilogue.  Per-shard work drops to
+    (C + S)/D rows/part — near-perfect scaling — at the price of a
+    second (small) collective.
     """
     lp_ord = eng._lp(level, False)
     lp_sp = eng._lp(level, True)
@@ -105,6 +115,12 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns"):
     plp_packs = tuple(
         lp_ord[part.lo : part.hi].pack for part in parts
     )
+
+    if scatter_special:
+        return _make_scatter_special(
+            eng, mesh, axis, parts, alloc, level, Pn, C_ord, S, D, ro,
+            ot, st, pack_o, pack_s, PiRs_st, plp_packs,
+        )
 
     def shard_fn(a_blk, ot, st, ksk_o, ksk_s):
         # 1. state broadcast: gather the ordinary channels once.
@@ -204,5 +220,139 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns"):
             ksk_o += [k0[level:Pn], k1[level:Pn]]
             ksk_s += [k0[Pn:], k1[Pn:]]
         return sharded(a, ot, st, tuple(ksk_o), tuple(ksk_s))
+
+    return switcher
+
+
+def _make_scatter_special(eng, mesh, axis, parts, alloc, level, Pn, C_ord,
+                          S, D, ro, ot, st, pack_o, pack_s, PiRs_st,
+                          plp_packs):
+    """The scatter_special switcher: special rows round-robined over the
+    shards (padded with duplicates when S < D), one extra tiny
+    all_gather of the special accumulator rows before the epilogue."""
+    rps = -(-S // D)                 # special rows per shard (padded)
+    total = D * rps
+    src = [i if i < S else i % S for i in range(total)]
+
+    def take(v):
+        return v[jnp.array(src)]
+
+    pack_p = ModPack(ql=take(st["pack"].ql), qh=take(st["pack"].qh),
+                     kl=take(st["pack"].kl), kh=take(st["pack"].kh),
+                     _2q=take(st["pack"]._2q))
+    stp = dict(
+        psi=take(st["psi"]), ipsi=take(st["ipsi"]),
+        Ninv=take(st["Ninv"]), Rs=take(st["Rs"]), pack=pack_p,
+        L=tuple(
+            None if Lk is None
+            else take(jnp.swapaxes(Lk, 0, 1))   # [total, a-1, 1]
+            for Lk in st["L"]
+        ),
+    )
+    stsm = dict(pack=pack_s, PiRs=st["PiRs"])   # replicated, tiny
+
+    def shard_fn(a_blk, ot, stp, stsm, ksk_o, ksk_sp):
+        a = lax.all_gather(a_blk, axis, tiled=True)  # [C_ord, N]
+        N = a.shape[-1]
+        rb_s = ro + rps                  # own rows this shard transforms
+
+        pack = _cat_pack(ot["pack"], stp["pack"])
+        psi = jnp.concatenate([ot["psi"], stp["psi"]])
+        ipsi = jnp.concatenate([ot["ipsi"], stp["ipsi"]])
+        Ninv = jnp.concatenate([ot["Ninv"], stp["Ninv"]])
+        Rs = jnp.concatenate([ot["Rs"], stp["Rs"]])
+
+        d0 = None
+        d1 = None
+        for k, part in enumerate(parts):
+            class _Plp:  # _pre_extend only touches .pack
+                pack = plp_packs[k]
+
+            state = _pre_extend(a[part.lo : part.hi], part, _Plp)
+            ext = jnp.broadcast_to(state[0], (rb_s, N))
+            ext = mont.mont_enter(ext, Rs, pack)
+            if part.alpha > 1:
+                Lc = jnp.concatenate(
+                    [jnp.swapaxes(ot["L"][k], 0, 1),
+                     jnp.swapaxes(stp["L"][k], 0, 1)], axis=1
+                )  # [alpha-1, rb_s, 1]
+                for j in range(part.alpha - 1):
+                    Y = jnp.broadcast_to(state[j + 1], (rb_s, N))
+                    Y = mont.mont_mult(Y, Lc[j], pack)
+                    ext = mont.mont_add(ext, Y, pack)
+            ext = ntt.ntt(ext, psi, pack)
+            t0 = mont.mont_mult(
+                ext, jnp.concatenate([ksk_o[2 * k], ksk_sp[2 * k]]), pack
+            )
+            t1 = mont.mont_mult(
+                ext,
+                jnp.concatenate([ksk_o[2 * k + 1], ksk_sp[2 * k + 1]]),
+                pack,
+            )
+            if d0 is None:
+                d0, d1 = t0, t1
+            else:
+                d0 = mont.mont_add(d0, t0, pack)
+                d1 = mont.mont_add(d1, t1, pack)
+
+        d0 = ntt.intt_exit_reduce(d0, ipsi, Ninv, pack)
+        d1 = ntt.intt_exit_reduce(d1, ipsi, Ninv, pack)
+
+        # exchange special accumulator rows (the ONLY extra collective:
+        # [rps, N] per shard; padded duplicates drop out of the slice)
+        sp0 = lax.all_gather(d0[ro:], axis, tiled=True)[:S]
+        sp1 = lax.all_gather(d1[ro:], axis, tiled=True)[:S]
+
+        # fully-local P-division epilogue on [ro + S] rows, as in the
+        # replicated-special path
+        rb = ro + S
+        pack_rb = _cat_pack(ot["pack"], stsm["pack"])
+        PiRs_blk = jnp.concatenate(
+            [jnp.swapaxes(ot["PiRs"], 0, 1), stsm["PiRs"]], axis=1
+        )  # [S, rb, 1]
+        Rs_o, pack_o_blk = ot["Rs"], ot["pack"]
+        e0 = jnp.concatenate([d0[:ro], sp0])
+        e1 = jnp.concatenate([d1[:ro], sp1])
+        e0 = e0.at[:ro].set(mont.mont_enter(e0[:ro], Rs_o, pack_o_blk))
+        e1 = e1.at[:ro].set(mont.mont_enter(e1[:ro], Rs_o, pack_o_blk))
+        for P_ind in range(S):
+            PiRi = PiRs_blk[P_ind]
+            for which in (0, 1):
+                d = e0 if which == 0 else e1
+                row = jnp.broadcast_to(d[rb - 1 - P_ind], (rb, N))
+                row = row.at[:ro].set(
+                    mont.mont_enter(row[:ro], Rs_o, pack_o_blk)
+                )
+                d = mont.mont_sub(d, row, pack_rb)
+                d = mont.mont_mult(d, PiRi, pack_rb)
+                if which == 0:
+                    e0 = d
+                else:
+                    e1 = d
+
+        c0 = mont.reduce_2q(
+            mont.mont_reduce(e0[:ro], pack_o_blk), pack_o_blk
+        )
+        c1 = mont.reduce_2q(
+            mont.mont_reduce(e1[:ro], pack_o_blk), pack_o_blk
+        )
+        return c0, c1
+
+    sharded = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_rep=False,
+    )
+
+    def switcher(a, ksk_parts_full):
+        """a: [C_ord, N]; ksk_parts_full: engine ksk .data tuple."""
+        ksk_o, ksk_sp = [], []
+        idx = jnp.array(src)
+        for g in alloc:
+            k0, k1 = ksk_parts_full[g]
+            ksk_o += [k0[level:Pn], k1[level:Pn]]
+            ksk_sp += [k0[Pn:][idx], k1[Pn:][idx]]
+        return sharded(a, ot, stp, stsm, tuple(ksk_o), tuple(ksk_sp))
 
     return switcher
