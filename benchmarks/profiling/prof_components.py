@@ -1,0 +1,111 @@
+"""Component-level timing of the logN15 batched cc_mult on the TPU.
+
+Times each jitted stage with host-fetch sync; reports per-ct ms using the
+slope between iteration counts (cancels ~26ms tunnel overhead).
+"""
+import time, json
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tiberate")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from tiberate_tpu.engine import CkksEngine
+from tiberate_tpu.engine import ckks_engine as E
+from tiberate_tpu.parallel.sharded import make_mult_step, mult_step_params
+
+B = 8
+eng = CkksEngine("logN15", seed=7)
+rng = np.random.default_rng(7)
+m = rng.uniform(-1, 1, eng.num_slots)
+ct = eng.encodecrypt(m)
+lvl = 1
+lp_ord = eng._lp(lvl)
+lp_sp = eng._lp(lvl, special=True)
+C = lp_ord.num_channels
+C_sp = lp_sp.num_channels
+N = eng.params.N
+
+x = jnp.stack([jnp.asarray(np.asarray(ct.data[0])[lvl:], dtype=jnp.int64)] * B)
+evk_parts, parts = eng._ksk_args(eng.evk, lvl)
+print(f"C={C} C_sp={C_sp} N={N} n_parts={len(parts)} S={eng.params.S}", flush=True)
+
+def timed(name, fn, *args):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda t: np.asarray(t.ravel()[0]) if hasattr(t, 'ravel') else t, out)
+    ts = []
+    for iters in (2, 8):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[0])
+        ts.append((time.perf_counter() - t0, iters))
+    dt = (ts[1][0] - ts[0][0]) / (ts[1][1] - ts[0][1])
+    print(f"{name:40s} {dt*1e3/B:8.3f} ms/ct  ({dt*1e3:.2f} ms/batch{B})", flush=True)
+    return out
+
+# forward NTT [B, C, N]
+f_ntt = jax.jit(jax.vmap(lambda a: E._enter_ntt(a, lp_ord)))
+timed("enter_ntt [C,N]", f_ntt, x)
+
+# inverse NTT
+f_intt = jax.jit(jax.vmap(lambda a: E._intt_exit_reduce(a, lp_ord)))
+timed("intt_exit_reduce [C,N]", f_intt, x)
+
+# tensor core (4 ntt + 4 mult + add)
+f_tensor = jax.jit(jax.vmap(lambda a, b: E._ccmult_tensor_core(a, b, a, b, lp_ord)))
+timed("ccmult_tensor (4 ntt + prods)", f_tensor, x, x)
+
+# one part: pre_extend + extend + fused ntt_keymul
+from tiberate_tpu.ops import pallas_mxu
+part = parts[0]
+k0, k1 = evk_parts[0]
+def one_part(a):
+    plp = lp_ord[part.lo:part.hi]
+    state = E._pre_extend(a[part.lo:part.hi], part, plp)
+    ext = E._extend(state, part, lp_sp, lvl)
+    return pallas_mxu.ntt_keymul(
+        ext, lp_sp.pmxu_fwd,
+        ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
+        accum=None, pair_out=True)
+f_part = jax.jit(jax.vmap(one_part))
+timed("one ks part (ext+ntt_keymul)", f_part, x)
+
+# just the part ntt [C_sp, N]
+qs = np.array(eng.params.q, dtype=np.uint64)
+q_sp = np.concatenate([qs[lvl:eng.params.P], qs[eng.params.P:]])
+xsp_np = (rng.integers(0, 2**62, (C_sp, N), dtype=np.int64) % q_sp[:, None].astype(np.int64))
+xsp = jnp.stack([jnp.asarray(xsp_np, dtype=jnp.int64)] * B)
+f_nttsp = jax.jit(jax.vmap(lambda a: E._ntt_plain(a, lp_sp)))
+timed("ntt_plain [C_sp,N]", f_nttsp, xsp)
+
+# extension only
+def ext_only(a):
+    plp = lp_ord[part.lo:part.hi]
+    state = E._pre_extend(a[part.lo:part.hi], part, plp)
+    return E._extend(state, part, lp_sp, lvl)
+timed("pre_extend+extend only", jax.jit(jax.vmap(ext_only)), x)
+
+# full switcher
+PiRs = eng.params.PiRs[lvl]
+f_sw = jax.jit(jax.vmap(lambda a: E._switcher_body(
+    a, evk_parts, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S, False)))
+a_coef = jnp.stack([jnp.asarray(np.asarray(ct.data[1])[lvl:], dtype=jnp.int64)] * B)
+timed("full switcher (9 parts + P-div)", f_sw, a_coef)
+
+# rescale
+rs = eng.params.rescale_scales[0]
+lp_next = eng._lp(1)
+f_rs = jax.jit(jax.vmap(lambda d: E._rescale_core(
+    d, rs, lp_next, eng.params.round_at[0], True)))
+x0 = jnp.stack([jnp.asarray(np.asarray(ct.data[0]), dtype=jnp.int64)] * B)
+timed("rescale_core", f_rs, x0)
+
+# whole step for reference
+step = make_mult_step(eng, level=0, pre_rescale=True)
+prm = mult_step_params(eng, level=0, pre_rescale=True)
+batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None, None)))
+args = tuple(jnp.stack([ct.data[i]] * B) for i in (0, 1, 0, 1))
+timed("FULL cc_mult step", batched, *args, evk_parts, prm)

@@ -415,3 +415,57 @@ def test_engine_pmxu_parity_30bit(monkeypatch):
     rp = e_pm.rotate_single(mp, e_pm.rotk[1])
     for a, b in zip(rr.data, rp.data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_mxu_skip_range_gap_fill():
+    """skip_range table views transform only the kept channels; the
+    skipped rows pass through from the accumulator unchanged (the
+    keyswitch in-part shortcut's pallas-level contract)."""
+    from tiberate_tpu.ops import mont
+
+    logN = 6
+    q = _primes(logN, [40, 40, 60, 60])
+    N = 1 << logN
+    C = len(q)
+    rng = np.random.default_rng(17)
+
+    def rand():
+        return jnp.array(np.stack(
+            [rng.integers(0, qi, N, dtype=np.int64) for qi in q]))
+
+    x, y = rand(), rand()
+    k0, k1 = rand(), rand()
+    fwd = pallas_mxu.build_tables(q, logN)
+    pack = mont.ModPack.from_q(q)
+    keys = tuple(pallas_mxu.key_pairs(k, fwd) for k in (k0, k1))
+
+    # seed accumulator from a full-table pass over y
+    acc = pallas_mxu.ntt_keymul(y, fwd, keys, enter=True, interpret=True,
+                                pair_out=True)
+    ref = tuple(pallas_mxu.pair_to_poly(a, fwd) for a in acc)
+
+    # skip channels [1, 3): those accumulator rows must pass through
+    for lo, hi in ((1, 3), (0, 2), (2, 4)):
+        acc_in = jax.tree_util.tree_map(lambda v: v, acc)
+        out = pallas_mxu.ntt_keymul(
+            x, fwd.skip_range(lo, hi), keys, enter=True, interpret=True,
+            accum=acc_in, pair_out=True)
+        X = pallas_mxu.ntt(x, fwd, enter=True, interpret=True)
+        for i, ki in enumerate((k0, k1)):
+            want = mont.mont_add(
+                mont.mont_mult(X, ki, pack),
+                ref[i].astype(jnp.int64), pack)
+            got = pallas_mxu.pair_to_poly(out[i], fwd)
+            kept = [c for c in range(C) if not lo <= c < hi]
+            qcol = np.array(q, dtype=np.int64)[:, None]
+            # kept rows: accumulated products; skipped rows: untouched
+            np.testing.assert_array_equal(
+                np.asarray(want)[kept] % qcol[kept],
+                np.asarray(got)[kept] % qcol[kept])
+            np.testing.assert_array_equal(
+                np.asarray(ref[i])[lo:hi], np.asarray(got)[lo:hi])
+
+    # without an accumulator, gaps must be rejected
+    with pytest.raises(ValueError):
+        pallas_mxu.ntt_keymul(x, fwd.skip_range(1, 3), keys, enter=True,
+                              interpret=True)
