@@ -273,3 +273,43 @@ def test_selector_requires_tty():
 
     with pytest.raises(RuntimeError, match="TTY"):
         run_selector()  # pytest captures stdout -> not a TTY
+
+
+def test_he_layernorm_feature_wise():
+    """HELayerNorm actually computes (the reference ships only the
+    interface): encrypted LayerNorm over feature-wise packed inputs with
+    a Newton reciprocal-sqrt, vs the plain computation."""
+    import numpy as np
+
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+    from tiberate_tpu.extension.nn import HELayerNormFeatureWise
+
+    eng = CkksEngine(
+        toy_config(logN=8, num_scales=14, num_special_primes=2,
+                   scale_bits=30),
+        seed=7,
+    )
+    F = 4
+    rng = np.random.default_rng(0)
+    # bounded per-slot variance (the CKKS ranged-input contract):
+    # var = 1.25 r^2 with r in [0.5, 0.9]
+    pattern = np.array([-1.5, -0.5, 0.5, 1.5])
+    c = rng.uniform(-0.3, 0.3, eng.num_slots)
+    r = rng.uniform(0.5, 0.9, eng.num_slots)
+    x = c[None, :] + r[None, :] * pattern[:, None]
+    gamma = rng.uniform(0.5, 1.5, F)
+    beta = rng.uniform(-0.5, 0.5, F)
+    eps = 1e-2
+
+    ln = HELayerNormFeatureWise(
+        gamma, beta, eng, eps=eps,
+        var_range=(1.25 * 0.25 + eps, 1.25 * 0.81 + eps), iters=2,
+    )
+    out = ln([eng.encodecrypt(x[f]) for f in range(F)])
+    got = np.stack([eng.decryptcode(o, is_real=True) for o in out])
+
+    mu = x.mean(axis=0)
+    var = x.var(axis=0)
+    expect = gamma[:, None] * (x - mu) / np.sqrt(var + eps) + beta[:, None]
+    assert np.abs(got - expect).max() < 5e-3

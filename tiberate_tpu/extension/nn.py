@@ -40,8 +40,90 @@ class HELinear(HEModule):
 
 
 class HELayerNorm(HEModule):
-    """Interface placeholder, mirroring the reference (no implementation
-    ships there either; requires an HE reciprocal-sqrt approximation)."""
+    """LayerNorm interface (the reference ships only this interface,
+    ``components/interface.py:6-29``; see :class:`HELayerNormFeatureWise`
+    for a working implementation — beyond reference parity)."""
+
+
+class HELayerNormFeatureWise(HELayerNorm):
+    """Encrypted LayerNorm over feature-wise packed inputs: samples fill
+    the slot axis, features are separate ciphertexts (one list entry per
+    feature), so every reduction is a ciphertext add and no rotations are
+    needed.
+
+        out_f = gamma_f * (x_f - mu) * rsqrt(var + eps) + beta_f
+
+    The reciprocal square root — the op that kept the reference's
+    HELayerNorm unimplemented — is evaluated homomorphically by Newton's
+    method on g(y) = y^-2 - v:
+
+        y_{k+1} = y_k * (1.5 - (v/2) * y_k^2)
+
+    seeded with the two-point linear fit of 1/sqrt(v) over a caller-
+    declared variance range ``var_range`` (CKKS computes on bounded
+    ranges by contract; quadratic convergence makes 2 iterations ~1e-5
+    accurate for range ratios up to ~6x).
+
+    Multiplicative depth: 3 + 3*iters + 2 levels.
+    """
+
+    def __init__(self, gamma, beta, engine, eps: float = 1e-3,
+                 var_range=(0.25, 2.0), iters: int = 2):
+        self.engine = engine
+        self.gamma = None if gamma is None else np.asarray(
+            gamma, dtype=np.float64).reshape(-1)
+        self.beta = None if beta is None else np.asarray(
+            beta, dtype=np.float64).reshape(-1)
+        self.eps = float(eps)
+        self.iters = int(iters)
+        lo, hi = var_range
+        assert 0 < lo < hi, "var_range must be a positive interval"
+        self.var_range = (float(lo), float(hi))
+        # two-point linear fit of 1/sqrt(v) on [lo, hi]
+        b = (hi ** -0.5 - lo ** -0.5) / (hi - lo)
+        a = lo ** -0.5 - b * lo
+        self._y0_a, self._y0_b = a, b
+
+    def forward(self, fcts, **kwargs):
+        """fcts: list of F ciphertexts (one per feature, same level).
+        Returns the normalized list (all at a deeper common level)."""
+        eng = self.engine
+        F = len(fcts)
+
+        # mean over the feature axis (ciphertext adds + one scalar mult)
+        s = fcts[0]
+        for f in range(1, F):
+            s = eng.cc_add(s, fcts[f])
+        mu = eng.mult_scalar(s, 1.0 / F)
+
+        # centered features and variance
+        d = [eng.cc_sub(eng.level_up(x, mu.level), mu) for x in fcts]
+        v = None
+        sq = [eng.cc_mult(df, df) for df in d]
+        v = sq[0]
+        for f in range(1, F):
+            v = eng.cc_add(v, sq[f])
+        v = eng.mult_scalar(v, 1.0 / F)
+        v = eng.add_scalar(v, self.eps)
+
+        # y ~= rsqrt(v): linear seed, then Newton
+        y = eng.add_scalar(eng.mult_scalar(v, self._y0_b), self._y0_a)
+        vh = eng.mult_scalar(v, 0.5)
+        for _ in range(self.iters):
+            y2 = eng.cc_mult(y, y)
+            p = eng.cc_mult(eng.level_up(vh, y2.level), y2)
+            w = eng.add_scalar(eng.negate(p), 1.5)
+            y = eng.cc_mult(eng.level_up(y, w.level), w)
+
+        out = []
+        for f in range(F):
+            z = eng.cc_mult(eng.level_up(d[f], y.level), y)
+            if self.gamma is not None:
+                z = eng.mult_scalar(z, float(self.gamma[f]))
+            if self.beta is not None:
+                z = eng.add_scalar(z, float(self.beta[f]))
+            out.append(z)
+        return out
 
 
 class HELinearFeatureWise(HELinear):
