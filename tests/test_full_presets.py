@@ -77,3 +77,23 @@ def test_logN17_construction():
     params = CkksParams(cfg)
     assert params.psi.shape == (len(cfg.q), cfg.N)
     assert len(params.parts[0]) == params.rnsPart.num_partitions + 1
+
+
+def test_logN14_mode30_e2e():
+    """30-bit buffer mode at a REAL ring size (logN14, int32 residues):
+    encrypt -> cc_mult -> rotate -> decrypt within 30-bit noise."""
+    eng = CkksEngine(
+        dict(logN=14, buffer_bit_length=30, scale_bits=25,
+             num_special_primes=2, num_scales=8),
+        seed=11,
+    )
+    assert eng.params.dtype == np.int32 or str(
+        eng.ckksCfg.buffer_bit_length) == "30"
+    m = np.linspace(-1, 1, eng.num_slots)
+    ct = eng.encodecrypt(m)
+    out = eng.decryptcode(eng.cc_mult(ct, ct), is_real=True)
+    assert np.abs(out - m * m).max() < 5e-3
+    rot = eng.rotate_offset(ct, 3)
+    assert np.abs(
+        eng.decryptcode(rot, is_real=True) - np.roll(m, 3)
+    ).max() < 5e-3
