@@ -656,19 +656,22 @@ def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
 def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                  gk=GROUP_K):
     nd = 2 * L - 1
+    w = 1 if single else 2   # lanes per value: single mode carries lo only
 
     def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
         if nkeys:
-            krefs = rest[: 2 * nkeys]          # (klo, khi) per key
-            arefs = rest[2 * nkeys : 4 * nkeys] if acc else ()
-            trefs = rest[-2 * nkeys - 1 : -1]    # (tlo, thi) per key
+            krefs = rest[: w * nkeys]          # (klo[, khi]) per key
+            arefs = rest[w * nkeys : 2 * w * nkeys] if acc else ()
+            trefs = rest[-w * nkeys - 1 : -1]    # (tlo[, thi]) per key
             s_ref = rest[-1]
         elif pdiv:
             pdc_ref = rest[0]                  # SMEM [Cg, 2 + 2*pdiv]
-            prefs = rest[1 : 1 + 2 * pdiv]     # (plo, phi) per division
-            lo_ref, hi_ref, s_ref = rest[-3:]
+            prefs = rest[1 : 1 + w * pdiv]     # (plo[, phi]) per division
+            out_refs = rest[-1 - w : -1]
+            s_ref = rest[-1]
         else:
-            lo_ref, hi_ref, s_ref = rest
+            out_refs = rest[:-1]
+            s_ref = rest[-1]
         c = pl.program_id(0)      # SMEM operands arrive unblocked
         q0 = cons_ref[c, 0]       # q 31-split (single: q, 0)
         q1 = cons_ref[c, 1]
@@ -688,11 +691,10 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
             kh = cons_ref[c, 5]
             for i in range(nkeys):
                 if single:
-                    t = _redc30(olo, krefs[2 * i][0], kl, q0)
+                    t = _redc30(olo, krefs[i][0], kl, q0)
                     if acc:
-                        t = _csub32(arefs[2 * i][0, 0] + t, q2lo)
-                    trefs[2 * i][0, 0] = t
-                    trefs[2 * i + 1][0, 0] = jnp.zeros_like(t)
+                        t = _csub32(arefs[i][0, 0] + t, q2lo)
+                    trefs[i][0, 0] = t
                     continue
                 tlo, thi = pallas_mont.mont_mult_pair(
                     olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
@@ -724,13 +726,12 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                 x = olo
                 rs = pdc_ref[c, 0]
                 for i in range(pdiv):
-                    pe = _redc30(prefs[2 * i][0], rs, kl, q0)
+                    pe = _redc30(prefs[i][0], rs, kl, q0)
                     x = _sub2q32(x, pe, q2lo)
                     x = _redc30(x, pdc_ref[c, 2 + 2 * i], kl, q0)
                 x = _redc_reduce30(x, kl, q0)
                 x = _csub32(x, q0)
-                lo_ref[0, 0] = x
-                hi_ref[0, 0] = jnp.zeros_like(x)
+                out_refs[0][0, 0] = x
                 return
             rs0 = pdc_ref[c, 0]
             rs1 = pdc_ref[c, 1]
@@ -749,11 +750,12 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
             qlo = q0 | (q1 << U32(31))
             qhi = q1 >> U32(1)
             xlo, xhi = pallas_mont.reduce_2q_pair(xlo, xhi, qlo, qhi)
-            lo_ref[0, 0] = xlo
-            hi_ref[0, 0] = xhi
+            out_refs[0][0, 0] = xlo
+            out_refs[1][0, 0] = xhi
         else:
-            lo_ref[0, 0] = olo
-            hi_ref[0, 0] = ohi
+            out_refs[0][0, 0] = olo
+            if not single:
+                out_refs[1][0, 0] = ohi
 
     return kernel
 
@@ -761,13 +763,14 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
 def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
-    d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products, pairs)."""
+    d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products; (lo, hi)
+    pairs, or lo-only in single-lane mode)."""
     nd = 2 * L - 1
 
     def kernel(cons_ref, fold_ref, x0_ref, x1_ref, y0_ref, y1_ref,
-               w1_ref, w2_ref, ta_ref,
-               d0lo_ref, d0hi_ref, d1lo_ref, d1hi_ref, d2lo_ref, d2hi_ref,
-               s_ref):
+               w1_ref, w2_ref, ta_ref, *rest):
+        out_refs = rest[:-1]
+        s_ref = rest[-1]
         c = pl.program_id(0)
         q0 = cons_ref[c, 0]
         q1 = cons_ref[c, 1]
@@ -789,9 +792,8 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
             def add(a, b):
                 return _csub32(a[0] + b[0], q2lo), None
 
-            def store(lo_ref, hi_ref, v):
-                lo_ref[0, 0] = v[0]
-                hi_ref[0, 0] = jnp.zeros_like(v[0])
+            def store(i, v):
+                out_refs[i][0, 0] = v[0]
         else:
             def mul(a, b):
                 return pallas_mont.mont_mult_pair(a[0], a[1], b[0], b[1],
@@ -801,17 +803,17 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
                 return pallas_mont.mont_add_pair(a[0], a[1], b[0], b[1],
                                                  q2lo, q2hi)
 
-            def store(lo_ref, hi_ref, v):
-                lo_ref[0, 0], hi_ref[0, 0] = v
+            def store(i, v):
+                out_refs[2 * i][0, 0], out_refs[2 * i + 1][0, 0] = v
 
         X0 = T(x0_ref)
         X1 = T(x1_ref)
         Y0 = T(y0_ref)
-        store(d0lo_ref, d0hi_ref, mul(X0, Y0))
+        store(0, mul(X0, Y0))
         t10 = mul(X1, Y0)
         Y1 = T(y1_ref)
-        store(d1lo_ref, d1hi_ref, add(mul(X0, Y1), t10))
-        store(d2lo_ref, d2hi_ref, mul(X1, Y1))
+        store(1, add(mul(X0, Y1), t10))
+        store(2, mul(X1, Y1))
 
     return kernel
 
@@ -829,6 +831,7 @@ def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
     kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
     grid = (Cg, B)
     z = np.int32(0)
+    n_out = 3 if single else 6
     x_spec = pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
@@ -850,8 +853,8 @@ def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 6,
-        out_shape=[out_shape] * 6,
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * Cg * L * L * P1 * P2 * (P1 + P2),
@@ -884,8 +887,10 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
         xg = xm.astype(jnp.uint64)
         return xg
 
+    single = tables.lane == "single"
+    wl = 1 if single else 2
     xs = [limbs(v) for v in (x0, x1, y0, y1)]
-    outs = [[] for _ in range(6)]
+    outs = [[] for _ in range(3 * wl)]
     for g in tables.groups:
         L = g.L
         xcats = tuple(
@@ -901,17 +906,23 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
         res = _run_tensor_group(
             xcats, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
-            single=tables.lane == "single", gk=g.gk,
+            single=single, gk=g.gk,
         )
-        for i in range(6):
+        for i in range(3 * wl):
             outs[i].append(res[i])
 
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                                axis=1)
+
     def finish(i):
-        lo = (outs[2 * i][0] if len(outs[2 * i]) == 1
-              else jnp.concatenate(outs[2 * i], axis=1))
-        hi = (outs[2 * i + 1][0] if len(outs[2 * i + 1]) == 1
-              else jnp.concatenate(outs[2 * i + 1], axis=1))
-        out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+        lo = cat(outs[wl * i])
+        if single:
+            out = lo.astype(jnp.uint64)
+        else:
+            out = (lo.astype(jnp.uint64)
+                   | (cat(outs[2 * i + 1]).astype(jnp.uint64)
+                      << jnp.uint64(32)))
         out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
         return out.astype(x0.dtype)
 
@@ -938,8 +949,9 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     """
     B, Cg = xcat.shape[:2]
     nd = 2 * L - 1
-    nkeys = len(keys) // 2
-    npd = (len(pdiv) - 1) // 2 if pdiv else 0
+    wl = 1 if single else 2   # lanes per value
+    nkeys = len(keys) // wl
+    npd = (len(pdiv) - 1) // wl if pdiv else 0
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
                           pdiv=npd, single=single, gk=gk)
     grid = (Cg, B)
@@ -947,7 +959,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
-    n_out = 2 * nkeys if nkeys else 2
+    n_out = wl * nkeys if nkeys else wl
     pd_specs = []
     if pdiv:
         pd_specs.append(
@@ -956,7 +968,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
         pd_specs.extend(
             pl.BlockSpec((1, P1, P2), lambda c, b: (b, z, z),
                          memory_space=pltpu.VMEM)
-            for _ in range(2 * npd))
+            for _ in range(wl * npd))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1030,15 +1042,18 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         xm = x.reshape(*lead, C, P1, P2)
     xm = xm.reshape(B, C, P1, P2)
 
+    single = tables.lane == "single"
+    wl = 1 if single else 2   # lanes per value (single: lo only)
     nkeys = len(keys) if keys else 0
     n_out = nkeys if nkeys else 1
     accum = tuple(
-        tuple(p.reshape(B, C, P1, P2) for p in pair) for pair in accum
+        tuple(p.reshape(B, C, P1, P2) for p in pair[:wl])
+        for pair in accum
     ) if accum is not None else None
     if pdiv is not None:
         pdc, p0_pairs = pdiv
         p0_flat = tuple(
-            p.reshape(B, P1, P2) for pair in p0_pairs for p in pair
+            p.reshape(B, P1, P2) for pair in p0_pairs for p in pair[:wl]
         )
     outs = [[] for _ in range(n_out)]
     for g in tables.groups:
@@ -1051,7 +1066,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         )                                        # [B, Cg, P1, L*P2]
         folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
         kflat = tuple(
-            p[g.c0:g.c1] for pair in (keys or ()) for p in pair
+            p[g.c0:g.c1] for pair in (keys or ()) for p in pair[:wl]
         )
         aflat = tuple(
             p[:, g.c0:g.c1] for pair in (accum or ()) for p in pair
@@ -1063,10 +1078,12 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             xcat, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=tables.lane == "single", gk=g.gk,
+            single=single, gk=g.gk,
         )
         for i in range(n_out):
-            outs[i].append((res[2 * i], res[2 * i + 1]))
+            outs[i].append(
+                (res[i],) if single else (res[2 * i], res[2 * i + 1])
+            )
 
     def gather(parts, j, acc_pair=None):
         """Concatenate group outputs in channel order; channels not
@@ -1090,11 +1107,19 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         )
 
     def finish(parts, acc_pair=None):
-        lo, hi = gather(parts, 0, acc_pair), gather(parts, 1, acc_pair)
+        lo = gather(parts, 0, acc_pair)
+        # single-lane values fit the lo lane; the hi half exposed in the
+        # pair interfaces is a constant zero XLA folds away
+        hi = (jnp.zeros_like(lo) if single
+              else gather(parts, 1, acc_pair))
         if pair_out:
             shape = (*lead, C, P1, P2)
             return lo.reshape(shape), hi.reshape(shape)
-        out = lo.astype(jnp.uint64) | (hi.astype(jnp.uint64) << jnp.uint64(32))
+        if single:
+            out = lo.astype(jnp.uint64)
+        else:
+            out = (lo.astype(jnp.uint64)
+                   | (hi.astype(jnp.uint64) << jnp.uint64(32)))
         out = out.reshape(B, C, P1, P2)
         if tables.swap:
             out = jnp.swapaxes(out, -1, -2)
