@@ -469,3 +469,30 @@ def test_pallas_mxu_skip_range_gap_fill():
     with pytest.raises(ValueError):
         pallas_mxu.ntt_keymul(x, fwd.skip_range(1, 3), keys, enter=True,
                               interpret=True)
+
+
+def test_engine_parts_kernel_parity(monkeypatch):
+    """TIBERATE_PARTS_KERNEL=1: the all-parts-in-one-kernel keyswitch
+    (VMEM part-sum) is bit-identical to the radix-2 engine through the
+    fused cc_mult."""
+    monkeypatch.setattr(pallas_mxu, "INTERPRET", True)
+    monkeypatch.setenv("TIBERATE_PARTS_KERNEL", "1")
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=2,
+                     scale_bits=30)
+    e_ref = CkksEngine(cfg, seed=31, nonce=7, use_pallas_mxu=False)
+    e_pm = CkksEngine(cfg, seed=31, nonce=7, use_pallas_mxu=True)
+
+    rng = np.random.default_rng(2)
+    m = rng.uniform(-1, 1, e_ref.num_slots)
+    ct_r = e_ref.encodecrypt(m)
+    ct_p = e_pm.encodecrypt(m)
+
+    mr = e_ref.cc_mult(ct_r, ct_r)
+    mp = e_pm.cc_mult(ct_p, ct_p)
+    for a, b in zip(mr.data, mp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    err = np.abs(e_pm.decryptcode(mp, is_real=True) - m * m).max()
+    assert err < 5e-5

@@ -311,7 +311,7 @@ def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
 
 
 def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                   exit_ntt, a_ntt=None, inpart=None):
+                   exit_ntt, a_ntt=None, inpart=None, parts_fused=None):
     """create_switcher on one logical shard; returns (c0, c1) ordinary.
 
     The reference's per-device loops, pinned-buffer hops and part-sum
@@ -341,6 +341,39 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
         # never round-trip HBM between parts (reference per-part evk
         # multiply + part-sum, ``ckks_engine.py:1048-1058, 1145-1161``).
         from tiberate_tpu.ops import pallas_mxu
+
+        if parts_fused is not None:
+            # All parts in ONE pallas call (part-sum in VMEM scratch;
+            # engine._ksk_parts_fused): batched basis extension over a
+            # padded uniform alpha, then ntt_keymul_parts.
+            keys_st, L_stack = parts_fused
+            amax = max(pt.alpha for pt in parts)
+            n_parts = len(parts)
+            C_sp = lp_sp.num_channels
+            N = a.shape[-1]
+            sts = []
+            for part in parts:
+                st = _pre_extend(a[part.lo : part.hi], part,
+                                 lp_ord[part.lo : part.hi])
+                if part.alpha < amax:
+                    st = jnp.concatenate(
+                        [st, jnp.zeros((amax - part.alpha, N), st.dtype)],
+                        axis=0,
+                    )
+                sts.append(st)
+            st_all = jnp.stack(sts)               # [n_parts, amax, N]
+            ext = jnp.broadcast_to(st_all[:, 0:1, :], (n_parts, C_sp, N))
+            ext = mont.mont_enter(ext, lp_sp.Rs, lp_sp.pack)
+            for i in range(amax - 1):
+                Y = jnp.broadcast_to(st_all[:, i + 1 : i + 2, :],
+                                     (n_parts, C_sp, N))
+                Y = mont.mont_mult(Y, L_stack[i], lp_sp.pack)
+                ext = mont.mont_add(ext, Y, lp_sp.pack)
+            acc = pallas_mxu.ntt_keymul_parts(ext, lp_sp.pmxu_fwd,
+                                              keys_st)
+            c0 = _pdiv_fused(acc[0], lp_sp, lp_ord, PiRs, S)
+            c1 = _pdiv_fused(acc[1], lp_sp, lp_ord, PiRs, S)
+            return c0, c1
 
         acc = None
         tbls = (lp_sp.pmxu_fwd,) * len(parts)
@@ -470,14 +503,15 @@ def _ccmult_tensor_core(x0, x1, y0, y1, lp):
 
 @functools.partial(jax.jit, static_argnames=("lvl", "S"))
 def _relin_core(d0, d1, d2, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                inpart=None):
+                inpart=None, parts_fused=None):
     """relinearize (reference ``ckks_engine.py:1358-1394``)."""
     d2_ntt = d2
     d0 = _intt_exit_reduce(d0, lp_ord)
     d1 = _intt_exit_reduce(d1, lp_ord)
     d2 = _intt_exit_reduce(d2, lp_ord)
     c0, c1 = _switcher_body(d2, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl,
-                            S, False, a_ntt=d2_ntt, inpart=inpart)
+                            S, False, a_ntt=d2_ntt, inpart=inpart,
+                            parts_fused=parts_fused)
     ct0 = mont.reduce_2q(d0 + c0, lp_ord.pack)
     ct1 = mont.reduce_2q(d1 + c1, lp_ord.pack)
     return ct0, ct1
@@ -841,6 +875,47 @@ class CkksEngine:
             lp_sp.pmxu_fwd.skip_range(p.lo, p.hi)
             for p in self.params.parts[level]
         )
+
+    def _ksk_parts_fused(self, ksk: KeySwitchKey, level: int):
+        """(keys_stacked, L_stack, alpha_max) for the all-parts-fused
+        keyswitch kernel (``pallas_mxu.ntt_keymul_parts``); opt-in via
+        TIBERATE_PARTS_KERNEL=1 (A/B against the per-part chain).
+        Cached on the ksk."""
+        import os
+
+        if os.environ.get("TIBERATE_PARTS_KERNEL") != "1":
+            return None
+        lp_sp = self._lp(level, True)
+        if lp_sp.pmxu_fwd is None:
+            return None
+        cache = getattr(ksk, "_pmxu_parts_fused", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(ksk, "_pmxu_parts_fused", cache)
+        if level not in cache:
+            pairs = self._ksk_device(ksk)
+            alloc = self.params.parts_alloc[level]
+            parts = self.params.parts[level]
+            sel = [pairs[g] for g in alloc]
+            keys_st = tuple(
+                tuple(
+                    jnp.stack([sel[p][i][j][level:]
+                               for p in range(len(parts))])
+                    for j in range(2)
+                )
+                for i in range(2)
+            )
+            amax = max(pt.alpha for pt in parts)
+            zrow = jnp.zeros_like(lp_sp.Rs)
+            L_stack = tuple(
+                jnp.stack([
+                    pt.L_enter[i][level:] if pt.alpha > i + 1 else zrow
+                    for pt in parts
+                ])
+                for i in range(amax - 1)
+            )
+            cache[level] = (keys_st, L_stack)
+        return cache[level]
 
     def _ksk_inpart(self, ksk: KeySwitchKey, level: int):
         """(diag_keys, part_tbls) for the keyswitch in-part shortcut:
@@ -1505,6 +1580,7 @@ class CkksEngine:
             tuple(self.params.PiRs[level]),
             level, self.ckksCfg.num_special_primes,
             inpart=self._ksk_inpart(evk, level),
+            parts_fused=self._ksk_parts_fused(evk, level),
         )
         return Ciphertext(data=(ct0, ct1), level=level, **self._meta())
 

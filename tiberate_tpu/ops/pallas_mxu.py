@@ -760,6 +760,192 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
     return kernel
 
 
+def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, single=False,
+                       gk=GROUP_K):
+    """All keyswitch parts in one kernel: grid (Cg, B, n_parts) with the
+    part axis fastest; per (channel, batch) cell the running d_i part-sum
+    lives in a VMEM scratch accumulator across the part iterations and is
+    written to HBM exactly once (reference part loop + accumulation,
+    ``ckks_engine.py:1048-1058`` — with zero intermediate accumulator
+    traffic)."""
+    nd = 2 * L - 1
+    w = 1 if single else 2
+
+    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
+        krefs = rest[: w * nkeys]            # [1, 1, P1, P2] at (p, c)
+        trefs = rest[w * nkeys : 2 * w * nkeys]   # outs at (b, c)
+        s_ref, acc_ref = rest[-2:]
+        c = pl.program_id(0)
+        p = pl.program_id(2)
+        q0 = cons_ref[c, 0]
+        q1 = cons_ref[c, 1]
+        q2lo = cons_ref[c, 2]
+        q2hi = cons_ref[c, 3]
+        kl = cons_ref[c, 4]
+        kh = cons_ref[c, 5]
+        q2 = (q0, q1, q2lo, q2hi)
+
+        olo, ohi = _cell_transform(
+            x_ref[0, 0, 0], c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+            L, G, P1, P2, q2, single, gk,
+        )
+        for i in range(nkeys):
+            if single:
+                t = _redc30(olo, krefs[i][0, 0], kl, q0)
+
+                @pl.when(p == 0)
+                def _(i=i, t=t):
+                    acc_ref[i] = t
+
+                @pl.when(p != 0)
+                def _(i=i, t=t):
+                    acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
+            else:
+                tlo, thi = pallas_mont.mont_mult_pair(
+                    olo, ohi, krefs[2 * i][0, 0], krefs[2 * i + 1][0, 0],
+                    q0, q1, kl, kh,
+                )
+
+                @pl.when(p == 0)
+                def _(i=i, tlo=tlo, thi=thi):
+                    acc_ref[2 * i] = tlo
+                    acc_ref[2 * i + 1] = thi
+
+                @pl.when(p != 0)
+                def _(i=i, tlo=tlo, thi=thi):
+                    alo, ahi = pallas_mont.mont_add_pair(
+                        acc_ref[2 * i], acc_ref[2 * i + 1], tlo, thi,
+                        q2lo, q2hi,
+                    )
+                    acc_ref[2 * i] = alo
+                    acc_ref[2 * i + 1] = ahi
+
+        @pl.when(p == n_parts - 1)
+        def _():
+            for j in range(w * nkeys):
+                trefs[j][0, 0] = acc_ref[j]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L", "G", "P1", "P2", "n_parts", "interpret",
+                     "single", "gk"),
+)
+def _run_parts_group(xcat, W1, W2, TA, consts, folds, keys, L, G, P1, P2,
+                     n_parts, interpret=False, single=False, gk=GROUP_K):
+    """xcat: [B, n_parts, Cg, P1, L*P2] int8; keys: flat per key/lane
+    u32 [n_parts, Cg, P1, P2].  -> w*nkeys arrays [B, Cg, P1, P2]."""
+    B, _, Cg = xcat.shape[:3]
+    nd = 2 * L - 1
+    wl = 1 if single else 2
+    nkeys = len(keys) // wl
+    kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts,
+                                single=single, gk=gk)
+    grid = (Cg, B, n_parts)
+    z = np.int32(0)
+    out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
+    n_out = wl * nkeys
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, P1, L * P2),
+                         lambda c, b, p: (b, p, c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, L, P1, P1), lambda c, b, p: (c, z, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, 4, P1, P2),
+                         lambda c, b, p: (c, z, z, z, z),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (p, c, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in keys
+        ],
+        out_specs=[out_spec] * n_out,
+        out_shape=[out_shape] * n_out,
+        scratch_shapes=[
+            pltpu.VMEM((nd, P1, P2), jnp.int32),
+            pltpu.VMEM((wl * nkeys, P1, P2), jnp.uint32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_parts * Cg * L * L * P1 * P2 * (P1 + P2),
+            bytes_accessed=B * n_parts * Cg * P1 * P2 * (L + 8 * nkeys),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA, *keys)
+
+
+def ntt_keymul_parts(exts, fwd: KTables, keys, interpret: bool = False):
+    """The whole keyswitch part loop in one Pallas call: exts
+    [..., n_parts, C, N] (Montgomery coefficients, one extension per
+    part), ``keys`` a tuple per evk component of (klo, khi) u32
+    [n_parts, C, P1, P2] part-stacked key pairs.  Returns one (lo, hi)
+    accumulator pair per key: sum_p REDC(NTT(ext_p) * k_{p,i}), lazy mod
+    2q — residue-identical to chaining :func:`ntt_keymul` with
+    ``accum=`` over the parts, with the part-sum kept in VMEM."""
+    interpret = interpret or INTERPRET
+    tables = fwd
+    assert not tables.swap
+    P1, P2 = tables.P1, tables.P2
+    lead = exts.shape[:-3]
+    n_parts, C = exts.shape[-3], exts.shape[-2]
+    N = P1 * P2
+    B = int(np.prod(lead)) if lead else 1
+    single = tables.lane == "single"
+    wl = 1 if single else 2
+    nkeys = len(keys)
+
+    xm = exts.reshape(B, n_parts, C, P1, P2)
+    outs = [[] for _ in range(nkeys)]
+    for g in tables.groups:
+        L = g.L
+        xg = xm[:, :, g.c0:g.c1].astype(jnp.uint64)
+        xcat = jnp.concatenate(
+            [((xg >> jnp.uint64(LIMB_BITS * j)) & jnp.uint64(LIMB_MASK))
+             .astype(jnp.int8) for j in range(L)],
+            axis=-1,
+        )                                  # [B, n_parts, Cg, P1, L*P2]
+        folds = tables.scalars["plain"][g.c0:g.c1, :g.n_groups]
+        kflat = tuple(
+            p[:, g.c0:g.c1] for pair in keys for p in pair[:wl]
+        )
+        res = _run_parts_group(
+            xcat, g.W1, g.W2, g.TA, g.consts, folds, kflat,
+            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_parts,
+            interpret=interpret, single=single, gk=g.gk,
+        )
+        for i in range(nkeys):
+            outs[i].append(
+                (res[i],) if single else (res[2 * i], res[2 * i + 1])
+            )
+
+    def cat(parts, j):
+        segs = [p[j] for p in parts]
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs,
+                                                              axis=1)
+
+    def finish(parts):
+        shape = (*lead, C, P1, P2)
+        lo = cat(parts, 0).reshape(shape)
+        hi = (jnp.zeros_like(lo) if single
+              else cat(parts, 1).reshape(shape))
+        return lo, hi
+
+    return tuple(finish(p) for p in outs)
+
+
 def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,

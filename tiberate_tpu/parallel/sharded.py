@@ -36,6 +36,7 @@ def mult_step_params(eng, level: int = 0, pre_rescale: bool = True,
         parts=tuple(eng.params.parts[work_level]),
         PiRs=tuple(eng.params.PiRs[work_level]),
         inpart=eng._ksk_inpart(ksk or eng.evk, work_level),
+        parts_fused=eng._ksk_parts_fused(ksk or eng.evk, work_level),
     )
 
 
@@ -64,7 +65,7 @@ def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
         return _relin_core(
             d0, d1, d2, ksk_sel, prm["parts"], prm["lp_sp"],
             prm["lp_ord"], prm["PiRs"], work_level, S,
-            inpart=prm["inpart"],
+            inpart=prm["inpart"], parts_fused=prm["parts_fused"],
         )
 
     return step
