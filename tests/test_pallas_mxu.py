@@ -496,3 +496,9 @@ def test_engine_parts_kernel_parity(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     err = np.abs(e_pm.decryptcode(mp, is_real=True) - m * m).max()
     assert err < 5e-5
+
+    # rotation: switch_key through the parts-fused kernel
+    rr = e_ref.rotate_single(mr, e_ref.rotk[1])
+    rp = e_pm.rotate_single(mp, e_pm.rotk[1])
+    for a, b in zip(rr.data, rp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

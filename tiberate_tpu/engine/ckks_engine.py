@@ -462,18 +462,18 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
 
 @functools.partial(jax.jit, static_argnames=("lvl", "S", "exit_ntt"))
 def _switcher_core(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                   exit_ntt):
+                   exit_ntt, parts_fused=None):
     return _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                          exit_ntt)
+                          exit_ntt, parts_fused=parts_fused)
 
 
 @functools.partial(jax.jit, static_argnames=("lvl", "S", "exit_ntt"))
 def _switch_key_core(ct0, a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
-                     exit_ntt):
+                     exit_ntt, parts_fused=None):
     """switch_key: new ct0 = ct0 + c0, new ct1 = c1
     (reference ``ckks_engine.py:1167-1184``)."""
     c0, c1 = _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl,
-                            S, exit_ntt)
+                            S, exit_ntt, parts_fused=parts_fused)
     new0 = mont.reduce_2q(mont.mont_add(ct0, c0, lp_ord.pack), lp_ord.pack)
     return new0, c1
 
@@ -1477,6 +1477,7 @@ class CkksEngine:
             self._lp(level, True), self._lp(level, False),
             tuple(self.params.PiRs[level]),
             level, self.ckksCfg.num_special_primes, exit_ntt,
+            parts_fused=self._ksk_parts_fused(ksk, level),
         )
 
     def switch_key(self, ct: Ciphertext, ksk: KeySwitchKey) -> Ciphertext:
@@ -1488,6 +1489,7 @@ class CkksEngine:
             tuple(self.params.PiRs[level]),
             level, self.ckksCfg.num_special_primes,
             ct.has_flag(FLAGS.NTT_STATE),
+            parts_fused=self._ksk_parts_fused(ksk, level),
         )
         return Ciphertext(
             data=(new0, new1), flags=ct._flags, level=level, **self._meta()
