@@ -199,6 +199,18 @@ def main():
 
 
 if __name__ == "__main__":
+    # The TPU tunnel can wedge (backend init then blocks forever); a
+    # SIGALRM watchdog turns a driver-visible hang into the error JSON.
+    import signal
+
+    def _timeout(signum, frame):
+        raise TimeoutError("bench timed out (TPU tunnel unresponsive?)")
+
+    try:
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(int(os.environ.get("TIBERATE_BENCH_TIMEOUT", "1200")))
+    except (ValueError, AttributeError):
+        pass  # non-main thread / platform without SIGALRM
     try:
         main()
     except Exception as e:  # noqa: BLE001 — always emit the one JSON line
@@ -206,7 +218,14 @@ if __name__ == "__main__":
 
         traceback.print_exc(file=sys.stderr)
         try:
-            # second attempt (tunnel hiccups are transient)
+            # second attempt (tunnel hiccups are transient); re-arm the
+            # watchdog — the first alarm was consumed
+            try:
+                signal.alarm(
+                    int(os.environ.get("TIBERATE_BENCH_TIMEOUT", "1200"))
+                )
+            except (ValueError, AttributeError):
+                pass
             main()
         except Exception as e2:  # noqa: BLE001
             print(
