@@ -69,3 +69,21 @@ def test_logN14_e2e_mult_default_suite():
         eng.cc_mult(eng.encodecrypt(m1), eng.encodecrypt(m2)), is_real=True
     )
     assert np.abs(out - m1 * m2).max() < 1e-5
+
+
+@pytest.mark.skipif(
+    os.environ.get("TIBERATE_FULL_TESTS") != "1",
+    reason="logN15/16 digests are slow on CPU; set TIBERATE_FULL_TESTS=1",
+)
+@pytest.mark.parametrize("preset", ["logN15", "logN16"])
+def test_large_preset_ciphertext_digest_pinned(golden, preset):
+    """Pinned encrypt digests at the remaining BASELINE parity sizes."""
+    from tiberate_tpu import CkksEngine
+
+    eng = CkksEngine(preset, seed=1234, nonce=1)
+    m = np.linspace(-1, 1, eng.num_slots)
+    ct = eng.encodecrypt(m)
+    h = hashlib.sha256()
+    for d in ct.data:
+        h.update(np.ascontiguousarray(np.asarray(d)).tobytes())
+    assert h.hexdigest() == golden[preset]["ct_sha256_seed1234_nonce1"]
