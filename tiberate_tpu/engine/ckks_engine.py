@@ -921,7 +921,12 @@ class CkksEngine:
         """(diag_keys, part_tbls) for the keyswitch in-part shortcut:
         ``diag_keys[i][j]`` is row j of part(j)'s evk component i — the
         key the identity extension row multiplies — and ``part_tbls``
-        the per-part skip-range table views.  Cached on the ksk."""
+        the per-part skip-range table views.  Cached on the ksk.
+        TIBERATE_INPART=0 disables (A/B against the plain chain)."""
+        import os
+
+        if os.environ.get("TIBERATE_INPART") == "0":
+            return None
         tbls = self._part_skip_tables(level)
         if tbls is None:
             return None
