@@ -118,8 +118,8 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
 
     if scatter_special:
         return _make_scatter_special(
-            eng, mesh, axis, parts, alloc, level, Pn, C_ord, S, D, ro,
-            ot, st, pack_o, pack_s, PiRs_st, plp_packs,
+            mesh, axis, parts, alloc, level, Pn, S, D, ro,
+            ot, st, pack_s, plp_packs,
         )
 
     def shard_fn(a_blk, ot, st, ksk_o, ksk_s):
@@ -224,9 +224,8 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
     return switcher
 
 
-def _make_scatter_special(eng, mesh, axis, parts, alloc, level, Pn, C_ord,
-                          S, D, ro, ot, st, pack_o, pack_s, PiRs_st,
-                          plp_packs):
+def _make_scatter_special(mesh, axis, parts, alloc, level, Pn,
+                          S, D, ro, ot, st, pack_s, plp_packs):
     """The scatter_special switcher: special rows round-robined over the
     shards (padded with duplicates when S < D), one extra tiny
     all_gather of the special accumulator rows before the epilogue."""
