@@ -92,6 +92,71 @@ def _roofline_ct_per_s(eng, work_level, hbm_gbps=819.0,
     }
 
 
+def _ntt_bench(eng, preset, iters, batch):
+    """TIBERATE_BENCH_KIND=ntt: forward-NTT throughput (the BASELINE's
+    dedicated NTT row) against the same compute-aware roofline, one
+    level-0 [C, N] polynomial batch per step."""
+    import time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tiberate_tpu.engine import ckks_engine as E
+    from tiberate_tpu.ops.mxu_ntt import GROUP_K, limbs_for_bits
+
+    lp = eng.params.lp(0, False)
+    C = lp.num_channels
+    N = eng.params.N
+    rng = np.random.default_rng(3)
+    q = np.array(eng.params.q[: eng.params.P])
+    x = jnp.stack([
+        jnp.asarray(rng.integers(0, q[:, None], (C, N)),
+                    dtype=jnp.int64 if eng.params.dtype == np.int64
+                    else jnp.int32)
+        for _ in range(batch)
+    ])
+    f = jax.jit(jax.vmap(lambda a: E._enter_ntt(a, lp)))
+    out = f(x)
+    np.asarray(out[0, 0, :4])
+    ts = []
+    for it in (iters, 3 * iters):
+        t0 = time.perf_counter()
+        for _ in range(it):
+            out = f(x)
+        np.asarray(out[0, 0, :4])
+        ts.append(time.perf_counter() - t0)
+    dt = (ts[1] - ts[0]) / (2 * iters) / batch   # per [C, N] transform
+
+    single = eng.ckksCfg.buffer_bit_length <= 31
+    gk = 2 if single else GROUP_K
+    fold = 45 if single else 190
+    P1 = 1 << ((N.bit_length() - 1) // 2)
+    P2 = N // P1
+    mxu = vpu = 0
+    for qi in eng.params.q[: eng.params.P]:
+        L = limbs_for_bits(int(qi).bit_length() + 1)
+        G = -(-(2 * L - 1) // gk)
+        mxu += L * L * P1 * P2 * (P1 + P2)
+        vpu += N * (2 * G * fold + 6 * L)
+    t_roof = max(mxu / 197e12, vpu / 3.85e12,
+                 2 * 8 * C * N / 819e9)
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": f"enter_ntt_{preset}_transforms_per_s",
+        "value": round(value, 1),
+        "unit": "transforms/s",
+        "vs_baseline": round(t_roof / dt, 4),
+        "extra": {
+            "latency_ms": round(dt * 1e3, 4),
+            "channels": C,
+            "batch": batch,
+            "roofline_ms": round(t_roof * 1e3, 4),
+        },
+    }))
+
+
 def main():
     preset = os.environ.get("TIBERATE_BENCH_PRESET", "logN15")
     iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
@@ -133,6 +198,10 @@ def main():
         )
     else:
         eng = CkksEngine(preset, seed=7)
+
+    if os.environ.get("TIBERATE_BENCH_KIND") == "ntt":
+        _ntt_bench(eng, preset, iters, batch)
+        return
 
     rng = np.random.default_rng(7)
     ms1 = [rng.uniform(-1, 1, eng.num_slots) for _ in range(batch)]
