@@ -190,7 +190,7 @@ def test_pallas_mxu_keymul():
     output), and residue-identical to the XLA path."""
     from tiberate_tpu.ops import mont
 
-    logN = 8
+    logN = 7
     q = _primes(logN, [40, 40, 60])
     N = 1 << logN
     qcol = np.array(q, dtype=np.int64)[:, None]
@@ -244,7 +244,7 @@ def test_pallas_mxu_keymul_accum():
     is bit-identical to the unfused ntt -> mont_mult -> mont_add chain."""
     from tiberate_tpu.ops import mont
 
-    logN = 8
+    logN = 7
     q = _primes(logN, [40, 60])
     N = 1 << logN
     qcol = np.array(q, dtype=np.int64)[:, None]
@@ -306,7 +306,7 @@ def test_pallas_mxu_ntt_tensor():
     enter_ntt -> mont_mult / mont_add chain on the same kernel."""
     from tiberate_tpu.ops import mont
 
-    logN = 8
+    logN = 7
     q = _primes(logN, [40, 60])
     N = 1 << logN
     rng = np.random.default_rng(23)
