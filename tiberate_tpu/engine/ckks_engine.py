@@ -727,7 +727,12 @@ class CkksEngine:
         except Exception:  # noqa: BLE001 — backend probing only
             pass
         if use_pallas_mxu is None:
-            use_pallas_mxu = on_tpu and self.ckksCfg.logN >= 14
+            # logN >= 14: the kernel needs N1, N2 >= 128.  logN <= 16:
+            # at logN17 the 62-bit kernel's VMEM working set (diagonal
+            # scratch 2L-1 x P1 x P2 int32 + mid-twiddle planes) exceeds
+            # the ~16 MB/core budget; that size runs the XLA matmul-form
+            # path (ops/mxu_ntt) instead.
+            use_pallas_mxu = on_tpu and 14 <= self.ckksCfg.logN <= 16
         self.use_pallas_mxu = bool(use_pallas_mxu)
         if self.use_pallas_mxu:
             self.params.enable_pallas_mxu()
