@@ -502,3 +502,23 @@ def test_engine_parts_kernel_parity(monkeypatch):
     rp = e_pm.rotate_single(mp, e_pm.rotk[1])
     for a, b in zip(rr.data, rp.data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_parts_kernel_parity_30bit(monkeypatch):
+    """Parts-fused keyswitch on the single-lane (30-bit) path."""
+    monkeypatch.setattr(pallas_mxu, "INTERPRET", True)
+    monkeypatch.setenv("TIBERATE_PARTS_KERNEL", "1")
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=2,
+                     scale_bits=21, buffer_bit_length=30)
+    e_ref = CkksEngine(cfg, seed=13, nonce=3, use_pallas_mxu=False)
+    e_pm = CkksEngine(cfg, seed=13, nonce=3, use_pallas_mxu=True)
+
+    rng = np.random.default_rng(6)
+    m = rng.uniform(-1, 1, e_ref.num_slots)
+    mr = e_ref.cc_mult(e_ref.encodecrypt(m), e_ref.encodecrypt(m))
+    mp = e_pm.cc_mult(e_pm.encodecrypt(m), e_pm.encodecrypt(m))
+    for a, b in zip(mr.data, mp.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
