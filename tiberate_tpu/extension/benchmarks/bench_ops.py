@@ -111,9 +111,9 @@ class LatOfEachLevel(BenchmarkBase):
             0, min(max_levels or eng.num_levels - 1, eng.num_levels - 1)
         )
         cols = [
-            "level", "cc_add_ms", "cc_mult_norelin_ms", "relin_ms",
-            "pc_mult_ms", "rescale_ms", "rotate_ks_ms", "ct_mb",
-            "decrypt_max_err",
+            "level", "cc_add_ms", "cc_add_triplet_ms",
+            "cc_mult_norelin_ms", "relin_ms", "pc_add_ms", "pc_mult_ms",
+            "rescale_ms", "rotate_ks_ms", "ct_mb", "decrypt_max_err",
         ]
         rows = []
         for lvl in levels:
@@ -125,12 +125,18 @@ class LatOfEachLevel(BenchmarkBase):
                 lambda: eng.cc_add(ct1, ct2).data[0], iters=iters
             )
             tri = eng.cc_mult(ct1, ct2, post_relin=False)
+            t_add3 = self.timeit(
+                lambda: eng.cc_add(tri, tri).data[0], iters=iters
+            )
             t_mul = self.timeit(
                 lambda: eng.cc_mult(ct1, ct2, post_relin=False).data[0],
                 iters=iters,
             )
             t_rel = self.timeit(
                 lambda: eng.relinearize(tri).data[0], iters=iters
+            )
+            t_pca = self.timeit(
+                lambda: eng.pc_add(pt, ct1).data[0], iters=iters
             )
             t_pc = self.timeit(
                 lambda: eng.pc_mult(pt, ct1, post_rescale=False).data[0],
@@ -151,8 +157,10 @@ class LatOfEachLevel(BenchmarkBase):
                 [
                     lvl,
                     round(t_add * 1e3, 3),
+                    round(t_add3 * 1e3, 3),
                     round(t_mul * 1e3, 3),
                     round(t_rel * 1e3, 3),
+                    round(t_pca * 1e3, 3),
                     round(t_pc * 1e3, 3),
                     round(t_rs * 1e3, 3),
                     round(t_rot * 1e3, 3),
