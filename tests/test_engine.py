@@ -246,3 +246,43 @@ def test_state_flag_errors(eng, msgs):
         eng.cc_add_double(tri, tri)  # triplet is in NTT state
     with pytest.raises(errors.DifferentTypeError):
         eng.cc_add(ct1, tri)
+
+
+def test_seed_expanded_ksk_compress_roundtrip(tmp_path):
+    """Seed-expanded key-switching keys (beyond the reference): the
+    uniform `a` halves regenerate from a stored seed, so compressed keys
+    carry half the bytes, survive save/load, and expand to bit-identical
+    keys."""
+    import numpy as np
+
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+    from tiberate_tpu.typing import KeySwitchKey
+    from tiberate_tpu.utils.massive import datastruct_size_bytes
+
+    eng = CkksEngine(
+        toy_config(logN=7, num_scales=3, num_special_primes=2,
+                   scale_bits=30),
+        seed=44, nonce=2,
+    )
+    sk2 = eng._create_secret_key()
+    ksk = eng.create_key_switching_key(sk2, eng.sk, a_seed=12345)
+
+    m = np.linspace(-1, 1, eng.num_slots)
+    ct = eng.encodecrypt(m)
+    out_ref = eng.switch_key(ct, ksk)
+
+    ck = eng.compress_ksk(ksk)
+    assert datastruct_size_bytes(ck) * 2 == datastruct_size_bytes(ksk)
+
+    path = str(tmp_path / "ck.npz")
+    ck.save(path)
+    ck2 = KeySwitchKey.load(path)
+    ksk2 = eng.expand_ksk(ck2)
+
+    for (a0, a1), (b0, b1) in zip(ksk.data, ksk2.data):
+        np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+    out2 = eng.switch_key(ct, ksk2)
+    for a, b in zip(out_ref.data, out2.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

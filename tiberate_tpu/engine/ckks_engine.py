@@ -1142,15 +1142,25 @@ class CkksEngine:
         )
 
     def create_key_switching_key(
-        self, sk_from: SecretKey, sk_to: SecretKey, a=None
+        self, sk_from: SecretKey, sk_to: SecretKey, a=None, a_seed=None
     ) -> KeySwitchKey:
         """Per-partition P-scaled source-key shards folded into fresh
-        public keys under sk_to (reference ``ckks_engine.py:777-841``)."""
+        public keys under sk_to (reference ``ckks_engine.py:777-841``).
+
+        ``a_seed``: draw the uniform ``a`` components from a dedicated
+        CSPRNG keyed by this seed — the key is then *seed-expandable*:
+        :meth:`compress_ksk` drops the ``a`` halves (half the key bytes)
+        and :meth:`expand_ksk` regenerates them from the stored seed, a
+        capability the reference lacks (its keys always ship both
+        halves, ``ckks_engine.py:777-841``)."""
         for k in (sk_from, sk_to):
             if not k.has_flag(FLAGS.NTT_STATE):
                 raise errors.NTTStateError(expected=True)
             if not k.has_flag(FLAGS.MONTGOMERY_STATE):
                 raise errors.MontgomeryStateError(expected=True)
+        if a_seed is not None:
+            assert a is None, "pass either a or a_seed"
+            a = self._expand_ksk_a(a_seed)
 
         P = self.params.P
         lp_ord = self._lp(0, False)
@@ -1175,7 +1185,55 @@ class CkksEngine:
             | FLAGS.MONTGOMERY_STATE
             | FLAGS.NTT_STATE,
             level=0,
+            a_seed=a_seed,
             **self._meta(),
+        )
+
+    def _expand_ksk_a(self, a_seed: int):
+        """Deterministic per-part uniform ``a`` polynomials from a seed
+        (a fresh counter-mode CSPRNG with the engine's channel model)."""
+        rng = Csprng(
+            num_coefs=self.ckksCfg.N,
+            num_channels=[self.params.P],
+            num_repeating_channels=max(self.ckksCfg.num_special_primes, 2),
+            sigma=self.ckksCfg.sigma,
+            seed=a_seed,
+            nonce=0x5EED,
+        )
+        return [
+            rng.randint(amax=self.params.q,
+                        repeats=self.ckksCfg.num_special_primes)
+            for _ in self.params.parts[0]
+        ]
+
+    def compress_ksk(self, ksk: KeySwitchKey) -> KeySwitchKey:
+        """Drop the regenerable ``a`` halves of a seed-expanded key
+        (created with ``a_seed=``): the result carries half the bytes and
+        round-trips save/load; :meth:`expand_ksk` restores it."""
+        if ksk.misc.get("a_seed") is None:
+            raise ValueError(
+                "only keys created with a_seed= are compressible"
+            )
+        return KeySwitchKey(
+            data=tuple(k0 for k0, _ in ksk.data),
+            flags=ksk._flags,
+            level=ksk.level,
+            **dict(ksk.misc, compressed=True),
+        )
+
+    def expand_ksk(self, cksk: KeySwitchKey) -> KeySwitchKey:
+        """Regenerate a compressed key's ``a`` halves from its seed."""
+        if not cksk.misc.get("compressed"):
+            return cksk
+        a_list = self._expand_ksk_a(cksk.misc["a_seed"])
+        data = tuple(
+            (k0, self._shard(jnp.asarray(a).astype(self.params.dtype)))
+            for k0, a in zip(cksk.data, a_list)
+        )
+        misc = dict(cksk.misc)
+        misc.pop("compressed", None)
+        return KeySwitchKey(
+            data=data, flags=cksk._flags, level=cksk.level, **misc
         )
 
     def _create_evk(self, sk: SecretKey = None) -> EvaluationKey:
