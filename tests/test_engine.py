@@ -286,3 +286,33 @@ def test_seed_expanded_ksk_compress_roundtrip(tmp_path):
     out2 = eng.switch_key(ct, ksk2)
     for a, b in zip(out_ref.data, out2.data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_seed_expanded_pk_compress_roundtrip(tmp_path):
+    """Seed-expanded public keys: the a half regenerates from the seed;
+    encrypting under the expanded key matches the original exactly."""
+    import numpy as np
+
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+    from tiberate_tpu.typing import PublicKey
+
+    eng = CkksEngine(
+        toy_config(logN=7, num_scales=3, num_special_primes=2,
+                   scale_bits=30),
+        seed=45, nonce=2,
+    )
+    pk = eng.create_public_key(a_seed=777)
+    cpk = eng.compress_pk(pk)
+    path = str(tmp_path / "cpk.npz")
+    cpk.save(path)
+    pk2 = eng.expand_pk(PublicKey.load(path))
+    for a, b in zip(pk.data, pk2.data):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # usable: encrypt under the expanded key, decrypt with sk
+    m = np.linspace(-1, 1, eng.num_slots)
+    ct = eng.encodecrypt(m, pk=pk2) if hasattr(eng, "encodecrypt") else None
+    if ct is not None:
+        out = eng.decryptcode(ct, is_real=True)
+        assert np.abs(out - m).max() < 1e-3

@@ -1189,10 +1189,8 @@ class CkksEngine:
             **self._meta(),
         )
 
-    def _expand_ksk_a(self, a_seed: int):
-        """Deterministic per-part uniform ``a`` polynomials from a seed
-        (a fresh counter-mode CSPRNG with the engine's channel model)."""
-        rng = Csprng(
+    def _seed_rng(self, a_seed: int):
+        return Csprng(
             num_coefs=self.ckksCfg.N,
             num_channels=[self.params.P],
             num_repeating_channels=max(self.ckksCfg.num_special_primes, 2),
@@ -1200,11 +1198,67 @@ class CkksEngine:
             seed=a_seed,
             nonce=0x5EED,
         )
+
+    def _expand_ksk_a(self, a_seed: int):
+        """Deterministic per-part uniform ``a`` polynomials from a seed
+        (a fresh counter-mode CSPRNG with the engine's channel model)."""
+        rng = self._seed_rng(a_seed)
         return [
             rng.randint(amax=self.params.q,
                         repeats=self.ckksCfg.num_special_primes)
             for _ in self.params.parts[0]
         ]
+
+    def create_public_key(self, sk: SecretKey = None, *,
+                          include_special: bool = False, a_seed=None
+                          ) -> PublicKey:
+        """Public keygen with optional seed-expandable ``a``
+        (see :meth:`create_key_switching_key`); ``compress_pk`` /
+        ``expand_pk`` halve the stored bytes."""
+        a = None
+        if a_seed is not None:
+            rng = self._seed_rng(a_seed)
+            amax = (self.params.q if include_special
+                    else self.params.q[: self.params.P])
+            reps = (self.ckksCfg.num_special_primes if include_special
+                    else 0)
+            a = rng.randint(amax=amax, repeats=reps)
+        pk = self._create_public_key(sk, include_special=include_special,
+                                     a=a)
+        pk.misc["a_seed"] = a_seed
+        pk.misc["include_special"] = bool(include_special)
+        return pk
+
+    def compress_pk(self, pk: PublicKey) -> PublicKey:
+        """Drop the regenerable ``a`` half of a seed-expanded public
+        key."""
+        if pk.misc.get("a_seed") is None:
+            raise ValueError(
+                "only keys created with a_seed= are compressible"
+            )
+        return PublicKey(
+            data=(pk.data[0],), flags=pk._flags, level=pk.level,
+            **dict(pk.misc, compressed=True),
+        )
+
+    def expand_pk(self, cpk: PublicKey) -> PublicKey:
+        if not cpk.misc.get("compressed"):
+            return cpk
+        rng = self._seed_rng(cpk.misc["a_seed"])
+        special = bool(cpk.misc.get("include_special"))
+        amax = (self.params.q if special
+                else self.params.q[: self.params.P])
+        reps = self.ckksCfg.num_special_primes if special else 0
+        a = jnp.asarray(
+            rng.randint(amax=amax, repeats=reps)
+        ).astype(self.params.dtype)
+        pk0 = cpk.data[0] if isinstance(cpk.data, tuple) else cpk.data
+        misc = dict(cpk.misc)
+        misc.pop("compressed", None)
+        return PublicKey(
+            data=(pk0, self._shard(a)), flags=cpk._flags, level=cpk.level,
+            **misc,
+        )
 
     def compress_ksk(self, ksk: KeySwitchKey) -> KeySwitchKey:
         """Drop the regenerable ``a`` halves of a seed-expanded key
