@@ -296,9 +296,7 @@ def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
             upd = mont.mont_sub(cur, r[..., None, :], lp_spec.pack)
             cur = mont.mont_mult(upd, PiRs[i][C:], lp_spec.pack)
 
-    d_ord = pallas_mxu.pair_to_poly(
-        tuple(p[..., :C, :, :] for p in acc_pair), lp_sp.pmxu_fwd
-    )
+    d_ord = tuple(p[..., :C, :, :] for p in acc_pair)
     cols = jnp.concatenate([lp_ord.Rs] + [PiRs[i][:C] for i in range(S)],
                            axis=1).astype(jnp.uint64)  # [C, 1+S]
     pdc = jnp.stack(
@@ -307,7 +305,8 @@ def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
         axis=-1,
     ).reshape(C, -1)                                   # [C, 2+2S]
     p0 = tuple(pallas_mxu.coef_row_pairs(r, lp_ord.pmxu_inv) for r in rows)
-    return pallas_mxu.intt_pdiv(d_ord, lp_ord.pmxu_inv, p0, pdc)
+    return pallas_mxu.intt_pdiv(d_ord, lp_ord.pmxu_inv, p0, pdc,
+                                out_dtype=lp_ord.Rs.dtype)
 
 
 def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
@@ -344,12 +343,11 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
 
         if parts_fused is not None:
             # All parts in ONE pallas call (part-sum in VMEM scratch;
-            # engine._ksk_parts_fused): batched basis extension over a
-            # padded uniform alpha, then ntt_keymul_parts.
-            keys_st, L_stack = parts_fused
+            # engine._ksk_parts_fused): the basis extension over a
+            # padded uniform alpha runs INSIDE the kernel — only the
+            # [n_parts, amax, N] signed digits cross HBM.
+            keys_st, ec = parts_fused
             amax = max(pt.alpha for pt in parts)
-            n_parts = len(parts)
-            C_sp = lp_sp.num_channels
             N = a.shape[-1]
             sts = []
             for part in parts:
@@ -362,15 +360,8 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
                     )
                 sts.append(st)
             st_all = jnp.stack(sts)               # [n_parts, amax, N]
-            ext = jnp.broadcast_to(st_all[:, 0:1, :], (n_parts, C_sp, N))
-            ext = mont.mont_enter(ext, lp_sp.Rs, lp_sp.pack)
-            for i in range(amax - 1):
-                Y = jnp.broadcast_to(st_all[:, i + 1 : i + 2, :],
-                                     (n_parts, C_sp, N))
-                Y = mont.mont_mult(Y, L_stack[i], lp_sp.pack)
-                ext = mont.mont_add(ext, Y, lp_sp.pack)
-            acc = pallas_mxu.ntt_keymul_parts(ext, lp_sp.pmxu_fwd,
-                                              keys_st)
+            acc = pallas_mxu.ntt_keymul_parts(st_all, ec,
+                                              lp_sp.pmxu_fwd, keys_st)
             c0 = _pdiv_fused(acc[0], lp_sp, lp_ord, PiRs, S)
             c1 = _pdiv_fused(acc[1], lp_sp, lp_ord, PiRs, S)
             return c0, c1
@@ -912,14 +903,30 @@ class CkksEngine:
             )
             amax = max(pt.alpha for pt in parts)
             zrow = jnp.zeros_like(lp_sp.Rs)
-            L_stack = tuple(
-                jnp.stack([
-                    pt.L_enter[i][level:] if pt.alpha > i + 1 else zrow
+            n_parts = len(parts)
+            C_sp = lp_sp.num_channels
+            # Extension constants for the in-kernel basis extension:
+            # per (part, channel) the Montgomery-multiply constants
+            # [Rs, L_enter_0, ...] as u32 ((lo, hi) pairs on the 62-bit
+            # lane, plain u32 on the single lane).
+            cols = [jnp.broadcast_to(lp_sp.Rs.reshape(1, C_sp),
+                                     (n_parts, C_sp))]
+            for i in range(amax - 1):
+                cols.append(jnp.stack([
+                    (pt.L_enter[i][level:] if pt.alpha > i + 1
+                     else zrow).reshape(C_sp)
                     for pt in parts
-                ])
-                for i in range(amax - 1)
-            )
-            cache[level] = (keys_st, L_stack)
+                ]))
+            vals = jnp.stack(cols, axis=-1).astype(jnp.uint64)
+            if lp_sp.pmxu_fwd.lane == "single":
+                ec = vals.astype(jnp.uint32)
+            else:
+                ec = jnp.stack(
+                    [(vals & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                     (vals >> jnp.uint64(32)).astype(jnp.uint32)],
+                    axis=-1,
+                ).reshape(n_parts, C_sp, -1)
+            cache[level] = (keys_st, ec)
         return cache[level]
 
     def _ksk_inpart(self, ksk: KeySwitchKey, level: int):

@@ -543,6 +543,25 @@ def _sub2q32(a, b, q2):
 # ----------------------------------------------------------------------
 
 
+def _limbs_cat(lo, hi, L, single=False):
+    """In-kernel limb extraction: (lo, hi) u32 pair [Pa, Pb] (value
+    < 2^62; single-lane: lo only, < 2^31) -> int8 [Pa, L*Pb] plain
+    7-bit limb concatenation — the kernel-side equivalent of the
+    XLA-side ``xcat`` split, so operands enter the kernel as raw
+    residues and the limb pass never touches HBM."""
+    parts = []
+    for j in range(L):
+        sh = LIMB_BITS * j
+        if single or sh + LIMB_BITS <= 32:
+            limb = (lo >> U32(sh)) & U32(LIMB_MASK)
+        elif sh >= 32:
+            limb = (hi >> U32(sh - 32)) & U32(LIMB_MASK)
+        else:
+            limb = ((lo >> U32(sh)) | (hi << U32(32 - sh))) & U32(LIMB_MASK)
+        parts.append(limb.astype(jnp.int8))
+    return jnp.concatenate(parts, axis=-1)
+
+
 def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
     """VMEM diagonals -> folded pair [Pa, Pb] in [0, 2q).
 
@@ -598,11 +617,13 @@ def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
     return out
 
 
-def _cell_transform(xcat, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
                     L, G, P1, P2, q2, single=False, gk=GROUP_K):
-    """One channel-cell 4-step transform: both limb-matmul steps and both
-    Shoup recombinations, diagonals in the s_ref VMEM scratch.  xcat:
-    [P1, L*P2] int8 limbs -> (olo, ohi) u32 pair in [0, 2q)."""
+    """One channel-cell 4-step transform: limb extraction, both
+    limb-matmul steps and both Shoup recombinations, diagonals in the
+    s_ref VMEM scratch.  xpair: (lo, hi) u32 [P1, P2] raw residues
+    (single-lane: hi is None) -> (olo, ohi) u32 pair in [0, 2q)."""
+    xcat = _limbs_cat(xpair[0], xpair[1], L, single)
     # ---- step A: diagonals of (left-twiddle @ x-limbs) ------------
     for i in range(L):
         Ti = jax.lax.dot_general(
@@ -658,7 +679,10 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
     nd = 2 * L - 1
     w = 1 if single else 2   # lanes per value: single mode carries lo only
 
-    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
+    def kernel(cons_ref, fold_ref, *refs):
+        xrefs = refs[:w]
+        w1_ref, w2_ref, ta_ref = refs[w : w + 3]
+        rest = refs[w + 3 :]
         if nkeys:
             krefs = rest[: w * nkeys]          # (klo[, khi]) per key
             arefs = rest[w * nkeys : 2 * w * nkeys] if acc else ()
@@ -679,8 +703,9 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         q2hi = cons_ref[c, 3]
         q2 = (q0, q1, q2lo, q2hi)
 
+        xpair = (xrefs[0][0, 0], None if single else xrefs[1][0, 0])
         olo, ohi = _cell_transform(
-            x_ref[0, 0], c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+            xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
             L, G, P1, P2, q2, single, gk,
         )
         if nkeys:
@@ -760,18 +785,59 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
     return kernel
 
 
-def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, single=False,
+def _signed_const_mult(lo, hi, clo, chi, q0, q1, kl, kh, q2lo, q2hi):
+    """REDC(y * c) for a SIGNED two's-complement pair y (|y| < 2^63),
+    c in [0, q): residue-exact vs ``mont.mont_mult_raw`` on signed int64
+    (basis-extension digits are signed, ``ckks_engine.py:844-903``),
+    lazy [0, 2q).  Uses y = u + R*t with u = y mod 2^62 and
+    t = floor(y / 2^62) in {-2, -1, 0, 1}: REDC(u*c) = y*c*R^-1 - t*c
+    (mod q), so add t*c back conditionally."""
+    s2 = hi >> U32(30)                    # top 2 bits = t mod 4
+    zlo, zhi = pallas_mont.mont_mult_pair(lo, hi & M30, clo, chi,
+                                          q0, q1, kl, kh)
+    alo, ahi = pallas_mont.mont_add_pair(zlo, zhi, clo, chi, q2lo, q2hi)
+    slo, shi = pallas_mont.mont_sub_pair(zlo, zhi, clo, chi, q2lo, q2hi)
+    # t: s2==1 -> +c, s2==3 -> -c, s2==2 -> -2c
+    dlo, dhi = pallas_mont.mont_sub_pair(slo, shi, clo, chi, q2lo, q2hi)
+    olo = jnp.where(s2 == U32(1), alo,
+                    jnp.where(s2 == U32(3), slo,
+                              jnp.where(s2 == U32(2), dlo, zlo)))
+    ohi = jnp.where(s2 == U32(1), ahi,
+                    jnp.where(s2 == U32(3), shi,
+                              jnp.where(s2 == U32(2), dhi, zhi)))
+    return olo, ohi
+
+
+def _signed_const_mult30(y, c, kl, q0, q2lo):
+    """Single-lane REDC(y * c) for signed u32 y (two's complement,
+    R = 2^30), c in [0, q); lazy [0, 2q)."""
+    s2 = y >> U32(30)
+    z = _redc30(y & M30, c, kl, q0)
+    a = _csub32(z + c, q2lo)
+    s = _sub2q32(z, c, q2lo)
+    d = _sub2q32(s, c, q2lo)
+    return jnp.where(s2 == U32(1), a,
+                     jnp.where(s2 == U32(3), s,
+                               jnp.where(s2 == U32(2), d, z)))
+
+
+def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
                        gk=GROUP_K):
     """All keyswitch parts in one kernel: grid (Cg, B, n_parts) with the
-    part axis fastest; per (channel, batch) cell the running d_i part-sum
-    lives in a VMEM scratch accumulator across the part iterations and is
-    written to HBM exactly once (reference part loop + accumulation,
-    ``ckks_engine.py:1048-1058`` — with zero intermediate accumulator
-    traffic)."""
+    part axis fastest; per (channel, batch) cell the basis extension
+    (reference ``ckks_engine.py:906-951``: ext = st0*Rs + sum_i
+    st_i*L_enter_i, all Montgomery constant multiplies), the limb split,
+    the NTT, the evk multiplies AND the running d_i part-sum all run
+    in-VMEM — the digits [amax, N] are the only per-part HBM input and
+    the accumulator is written to HBM exactly once (reference part loop
+    + accumulation, ``ckks_engine.py:1048-1058``)."""
     nd = 2 * L - 1
     w = 1 if single else 2
 
-    def kernel(cons_ref, fold_ref, x_ref, w1_ref, w2_ref, ta_ref, *rest):
+    def kernel(cons_ref, fold_ref, ec_ref, *refs):
+        strefs = refs[:w]                    # [1, 1, amax, P1, P2]
+        w1_ref, w2_ref, ta_ref = refs[w : w + 3]
+        rest = refs[w + 3 :]
         krefs = rest[: w * nkeys]            # [1, 1, P1, P2] at (p, c)
         trefs = rest[w * nkeys : 2 * w * nkeys]   # outs at (b, c)
         s_ref, acc_ref = rest[-2:]
@@ -785,8 +851,31 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, single=False,
         kh = cons_ref[c, 5]
         q2 = (q0, q1, q2lo, q2hi)
 
+        # ---- fused basis extension --------------------------------
+        if single:
+            ext = _signed_const_mult30(
+                strefs[0][0, 0, 0], ec_ref[0, c, 0], kl, q0, q2lo)
+            for i in range(1, amax):
+                y = _signed_const_mult30(
+                    strefs[0][0, 0, i], ec_ref[0, c, i], kl, q0, q2lo)
+                ext = _csub32(ext + y, q2lo)
+            xpair = (ext, None)
+        else:
+            elo, ehi = _signed_const_mult(
+                strefs[0][0, 0, 0], strefs[1][0, 0, 0],
+                ec_ref[0, c, 0], ec_ref[0, c, 1],
+                q0, q1, kl, kh, q2lo, q2hi)
+            for i in range(1, amax):
+                ylo, yhi = _signed_const_mult(
+                    strefs[0][0, 0, i], strefs[1][0, 0, i],
+                    ec_ref[0, c, 2 * i], ec_ref[0, c, 2 * i + 1],
+                    q0, q1, kl, kh, q2lo, q2hi)
+                elo, ehi = pallas_mont.mont_add_pair(
+                    elo, ehi, ylo, yhi, q2lo, q2hi)
+            xpair = (elo, ehi)
+
         olo, ohi = _cell_transform(
-            x_ref[0, 0, 0], c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
+            xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
             L, G, P1, P2, q2, single, gk,
         )
         for i in range(nkeys):
@@ -830,18 +919,22 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, single=False,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "n_parts", "interpret",
+    static_argnames=("L", "G", "P1", "P2", "n_parts", "amax", "interpret",
                      "single", "gk"),
 )
-def _run_parts_group(xcat, W1, W2, TA, consts, folds, keys, L, G, P1, P2,
-                     n_parts, interpret=False, single=False, gk=GROUP_K):
-    """xcat: [B, n_parts, Cg, P1, L*P2] int8; keys: flat per key/lane
-    u32 [n_parts, Cg, P1, P2].  -> w*nkeys arrays [B, Cg, P1, P2]."""
-    B, _, Cg = xcat.shape[:3]
+def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
+                     P1, P2, n_parts, amax, interpret=False, single=False,
+                     gk=GROUP_K):
+    """stlanes: (lo[, hi]) u32 [B, n_parts, amax, P1, P2] signed digit
+    lanes; ec: u32 [n_parts, Cg, wl*amax] extension constants; keys:
+    flat per key/lane u32 [n_parts, Cg, P1, P2].
+    -> w*nkeys arrays [B, Cg, P1, P2]."""
+    B = stlanes[0].shape[0]
+    Cg = ec.shape[1]
     nd = 2 * L - 1
     wl = 1 if single else 2
     nkeys = len(keys) // wl
-    kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts,
+    kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax,
                                 single=single, gk=gk)
     grid = (Cg, B, n_parts)
     z = np.int32(0)
@@ -857,9 +950,14 @@ def _run_parts_group(xcat, W1, W2, TA, consts, folds, keys, L, G, P1, P2,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1, P1, L * P2),
-                         lambda c, b, p: (b, p, c, z, z),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Cg, wl * amax), lambda c, b, p: (p, z, z),
+                         memory_space=pltpu.SMEM),
+        ] + [
+            pl.BlockSpec((1, 1, amax, P1, P2),
+                         lambda c, b, p: (b, p, z, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in stlanes
+        ] + [
             pl.BlockSpec((1, L, P1, P1), lambda c, b, p: (c, z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
@@ -880,50 +978,60 @@ def _run_parts_group(xcat, W1, W2, TA, consts, folds, keys, L, G, P1, P2,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_parts * Cg * L * L * P1 * P2 * (P1 + P2),
-            bytes_accessed=B * n_parts * Cg * P1 * P2 * (L + 8 * nkeys),
+            bytes_accessed=B * n_parts * P1 * P2 * (8 * amax
+                                                    + Cg * 4 * nkeys),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA, *keys)
+    )(consts, folds.reshape(folds.shape[0], -1), ec, *stlanes,
+      W1, W2, TA, *keys)
 
 
-def ntt_keymul_parts(exts, fwd: KTables, keys, interpret: bool = False):
-    """The whole keyswitch part loop in one Pallas call: exts
-    [..., n_parts, C, N] (Montgomery coefficients, one extension per
-    part), ``keys`` a tuple per evk component of (klo, khi) u32
+def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
+    """The whole keyswitch part loop in one Pallas call — including the
+    basis extension: ``st`` [..., n_parts, amax, N] SIGNED mixed-radix
+    digits (int64/int32, from ``_pre_extend``; rows past a part's alpha
+    zero-padded), ``ec`` u32 [n_parts, C, wl*amax] per-(part, channel)
+    extension constants (Rs then L_enter values, (lo, hi) pairs on the
+    62-bit lane), ``keys`` a tuple per evk component of (klo, khi) u32
     [n_parts, C, P1, P2] part-stacked key pairs.  Returns one (lo, hi)
-    accumulator pair per key: sum_p REDC(NTT(ext_p) * k_{p,i}), lazy mod
-    2q — residue-identical to chaining :func:`ntt_keymul` with
-    ``accum=`` over the parts, with the part-sum kept in VMEM."""
+    accumulator pair per key: sum_p REDC(NTT(extend(st_p)) * k_{p,i}),
+    lazy mod 2q — residue-identical to the XLA extend +
+    :func:`ntt_keymul` ``accum=`` chain over the parts, with the
+    extension, part-sum and NTT all kept in VMEM."""
     interpret = interpret or INTERPRET
     tables = fwd
     assert not tables.swap
     P1, P2 = tables.P1, tables.P2
-    lead = exts.shape[:-3]
-    n_parts, C = exts.shape[-3], exts.shape[-2]
+    lead = st.shape[:-3]
+    n_parts, amax = st.shape[-3], st.shape[-2]
     N = P1 * P2
     B = int(np.prod(lead)) if lead else 1
     single = tables.lane == "single"
     wl = 1 if single else 2
     nkeys = len(keys)
+    C = ec.shape[1]
 
-    xm = exts.reshape(B, n_parts, C, P1, P2)
+    xm = st.reshape(B, n_parts, amax, P1, P2)
+    if single:
+        stlanes = (xm.astype(jnp.uint32),)
+    else:
+        xu = xm.astype(jnp.uint64)
+        stlanes = (
+            (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            (xu >> jnp.uint64(32)).astype(jnp.uint32),
+        )
     outs = [[] for _ in range(nkeys)]
     for g in tables.groups:
         L = g.L
-        xg = xm[:, :, g.c0:g.c1].astype(jnp.uint64)
-        xcat = jnp.concatenate(
-            [((xg >> jnp.uint64(LIMB_BITS * j)) & jnp.uint64(LIMB_MASK))
-             .astype(jnp.int8) for j in range(L)],
-            axis=-1,
-        )                                  # [B, n_parts, Cg, P1, L*P2]
         folds = tables.scalars["plain"][g.c0:g.c1, :g.n_groups]
         kflat = tuple(
             p[:, g.c0:g.c1] for pair in keys for p in pair[:wl]
         )
         res = _run_parts_group(
-            xcat, g.W1, g.W2, g.TA, g.consts, folds, kflat,
-            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_parts,
+            stlanes, ec[:, g.c0:g.c1], g.W1, g.W2, g.TA, g.consts,
+            folds, kflat,
+            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_parts, amax=amax,
             interpret=interpret, single=single, gk=g.gk,
         )
         for i in range(nkeys):
@@ -952,9 +1060,12 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products; (lo, hi)
     pairs, or lo-only in single-lane mode)."""
     nd = 2 * L - 1
+    wlane = 1 if single else 2
 
-    def kernel(cons_ref, fold_ref, x0_ref, x1_ref, y0_ref, y1_ref,
-               w1_ref, w2_ref, ta_ref, *rest):
+    def kernel(cons_ref, fold_ref, *refs):
+        xrefs = refs[: 4 * wlane]
+        w1_ref, w2_ref, ta_ref = refs[4 * wlane : 4 * wlane + 3]
+        rest = refs[4 * wlane + 3 :]
         out_refs = rest[:-1]
         s_ref = rest[-1]
         c = pl.program_id(0)
@@ -966,8 +1077,12 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
         kh = cons_ref[c, 5]
         q2 = (q0, q1, q2lo, q2hi)
 
-        def T(ref):
-            return _cell_transform(ref[0, 0], c, fold_ref, w1_ref, w2_ref,
+        def T(i):
+            pair = (
+                xrefs[wlane * i][0, 0],
+                None if single else xrefs[wlane * i + 1][0, 0],
+            )
+            return _cell_transform(pair, c, fold_ref, w1_ref, w2_ref,
                                    ta_ref, s_ref, L, G, P1, P2, q2,
                                    single, gk)
 
@@ -992,12 +1107,12 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
             def store(i, v):
                 out_refs[2 * i][0, 0], out_refs[2 * i + 1][0, 0] = v
 
-        X0 = T(x0_ref)
-        X1 = T(x1_ref)
-        Y0 = T(y0_ref)
+        X0 = T(0)
+        X1 = T(1)
+        Y0 = T(2)
         store(0, mul(X0, Y0))
         t10 = mul(X1, Y0)
-        Y1 = T(y1_ref)
+        Y1 = T(3)
         store(1, add(mul(X0, Y1), t10))
         store(2, mul(X1, Y1))
 
@@ -1008,17 +1123,18 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
 )
-def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
+def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                       interpret=False, single=False, gk=GROUP_K):
-    """xcats: four [B, Cg, P1, L*P2] int8 limb tensors -> six u32
-    [B, Cg, P1, P2] outputs (d0, d1, d2 as (lo, hi) pairs)."""
-    B, Cg = xcats[0].shape[:2]
+    """xlanes: 4 * wl u32 [B, Cg, P1, P2] raw-residue lanes (lo[, hi]
+    per input) -> six u32 [B, Cg, P1, P2] outputs (d0, d1, d2 as
+    (lo, hi) pairs; lo only in single mode)."""
+    B, Cg = xlanes[0].shape[:2]
     nd = 2 * L - 1
     kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
     grid = (Cg, B)
     z = np.int32(0)
     n_out = 3 if single else 6
-    x_spec = pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
+    x_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
                           memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
                             memory_space=pltpu.VMEM)
@@ -1031,7 +1147,7 @@ def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
                          memory_space=pltpu.SMEM),
-            x_spec, x_spec, x_spec, x_spec,
+        ] + [x_spec] * len(xlanes) + [
             pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
@@ -1044,11 +1160,11 @@ def _run_tensor_group(xcats, W1, W2, TA, consts, folds, L, G, P1, P2,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * Cg * L * L * P1 * P2 * (P1 + P2),
-            bytes_accessed=B * Cg * P1 * P2 * (4 * L + 24),
+            bytes_accessed=B * Cg * P1 * P2 * (16 * len(xlanes) // 8 + 24),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(consts, folds.reshape(folds.shape[0], -1), *xcats, W1, W2, TA)
+    )(consts, folds.reshape(folds.shape[0], -1), *xlanes, W1, W2, TA)
 
 
 def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
@@ -1067,30 +1183,30 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
     B = int(np.prod(lead)) if lead else 1
     variant = "enter" if enter else "plain"
 
-    def limbs(x):
-        assert not tables.swap
-        xm = x.reshape(*lead, C, P1, P2).reshape(B, C, P1, P2)
-        xg = xm.astype(jnp.uint64)
-        return xg
-
     single = tables.lane == "single"
     wl = 1 if single else 2
-    xs = [limbs(v) for v in (x0, x1, y0, y1)]
+
+    def lanes(x):
+        assert not tables.swap
+        xm = x.reshape(*lead, C, P1, P2).reshape(B, C, P1, P2)
+        if single:
+            return (xm.astype(jnp.uint32),)
+        xu = xm.astype(jnp.uint64)
+        return (
+            (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+            (xu >> jnp.uint64(32)).astype(jnp.uint32),
+        )
+
+    xs = [lanes(v) for v in (x0, x1, y0, y1)]
     outs = [[] for _ in range(3 * wl)]
     for g in tables.groups:
         L = g.L
-        xcats = tuple(
-            jnp.concatenate(
-                [((xg[:, g.c0:g.c1] >> jnp.uint64(LIMB_BITS * j))
-                  & jnp.uint64(LIMB_MASK)).astype(jnp.int8)
-                 for j in range(L)],
-                axis=-1,
-            )
-            for xg in xs
+        xlanes = tuple(
+            l[:, g.c0:g.c1] for lane_set in xs for l in lane_set
         )
         folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
         res = _run_tensor_group(
-            xcats, g.W1, g.W2, g.TA, g.consts, folds,
+            xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             single=single, gk=g.gk,
         )
@@ -1119,10 +1235,11 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
 )
-def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
+def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
                single=False, gk=GROUP_K):
-    """xcat: [B, Cg, P1, L*P2] int8 -> u32 [B, Cg, P1, P2] outputs.
+    """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
+    u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
     Without ``keys``: (lo, hi) of the transform.  With ``keys`` (flat
     (klo, khi) u32 [Cg, P1, P2] per key): (tlo, thi) per key, where
@@ -1133,7 +1250,7 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
     [B, P1, P2] per division): the P-division epilogue runs in-kernel
     and the output is canonical [0, q).
     """
-    B, Cg = xcat.shape[:2]
+    B, Cg = xlanes[0].shape[:2]
     nd = 2 * L - 1
     wl = 1 if single else 2   # lanes per value
     nkeys = len(keys) // wl
@@ -1163,8 +1280,11 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, P1, L * P2), lambda c, b: (b, c, z, z),
-                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+                         memory_space=pltpu.VMEM)
+            for _ in xlanes
+        ] + [
             pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
@@ -1184,15 +1304,16 @@ def _run_group(xcat, W1, W2, TA, consts, folds, L, G, P1, P2,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
         input_output_aliases={
-            6 + len(keys) + i: i for i in range(len(accum))
+            5 + len(xlanes) + len(keys) + i: i for i in range(len(accum))
         },
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Cg * L * L * P1 * P2 * (P1 + P2),
-            bytes_accessed=B * Cg * P1 * P2 * (L + 8 + 16 * nkeys),
+            bytes_accessed=B * Cg * P1 * P2 * (4 * len(xlanes) + 8
+                                               + 16 * nkeys),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(consts, folds.reshape(folds.shape[0], -1), xcat, W1, W2, TA,
+    )(consts, folds.reshape(folds.shape[0], -1), *xlanes, W1, W2, TA,
       *keys, *accum, *pdiv)
     return outs
 
@@ -1204,8 +1325,12 @@ INTERPRET = False
 
 
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
-           accum=None, pair_out=False, pdiv=None):
+           accum=None, pair_out=False, pdiv=None, out_dtype=None):
     """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
+    x may also be a (lo, hi) u32 pair in the kernel layout
+    [..., C, P1, P2] (forward/unswapped only) — e.g. a keyswitch
+    accumulator — in which case no XLA-side merge or split happens at
+    all; ``out_dtype`` then selects the polynomial output dtype.
 
     With ``keys`` (tuple of (klo, khi) u32 [C, P1, P2] pairs, see
     :func:`key_pairs`): returns a tuple of len(keys) arrays, each
@@ -1217,19 +1342,40 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
     """
     interpret = interpret or INTERPRET
     P1, P2 = tables.P1, tables.P2
-    lead = x.shape[:-2]
-    C = x.shape[-2]
-    N = P1 * P2
-    B = int(np.prod(lead)) if lead else 1
-    if tables.swap:
-        xm = x.reshape(*lead, C, P2, P1)
-        xm = jnp.swapaxes(xm, -1, -2)
-    else:
-        xm = x.reshape(*lead, C, P1, P2)
-    xm = xm.reshape(B, C, P1, P2)
-
     single = tables.lane == "single"
     wl = 1 if single else 2   # lanes per value (single: lo only)
+    N = P1 * P2
+    pair_in = isinstance(x, tuple)
+    if pair_in:
+        # Pair operands arrive in the FORWARD kernel layout
+        # [..., C, P1_fwd, P2_fwd]; swapped (inverse) tables read the
+        # transpose.
+        xin = (tuple(jnp.swapaxes(p, -1, -2) for p in x[:wl])
+               if tables.swap else x[:wl])
+        lead = xin[0].shape[:-3]
+        C = xin[0].shape[-3]
+        B = int(np.prod(lead)) if lead else 1
+        xlanes_all = tuple(p.reshape(B, C, P1, P2) for p in xin)
+        x_dtype = out_dtype if out_dtype is not None else jnp.int64
+    else:
+        lead = x.shape[:-2]
+        C = x.shape[-2]
+        B = int(np.prod(lead)) if lead else 1
+        if tables.swap:
+            xm = x.reshape(*lead, C, P2, P1)
+            xm = jnp.swapaxes(xm, -1, -2)
+        else:
+            xm = x.reshape(*lead, C, P1, P2)
+        xm = xm.reshape(B, C, P1, P2)
+        if single:
+            xlanes_all = (xm.astype(jnp.uint32),)
+        else:
+            xu = xm.astype(jnp.uint64)
+            xlanes_all = (
+                (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
+                (xu >> jnp.uint64(32)).astype(jnp.uint32),
+            )
+        x_dtype = x.dtype
     nkeys = len(keys) if keys else 0
     n_out = nkeys if nkeys else 1
     accum = tuple(
@@ -1244,12 +1390,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
     outs = [[] for _ in range(n_out)]
     for g in tables.groups:
         L = g.L
-        xg = xm[:, g.c0:g.c1].astype(jnp.uint64)
-        xcat = jnp.concatenate(
-            [((xg >> jnp.uint64(LIMB_BITS * j)) & jnp.uint64(LIMB_MASK))
-             .astype(jnp.int8) for j in range(L)],
-            axis=-1,
-        )                                        # [B, Cg, P1, L*P2]
+        xlanes = tuple(l[:, g.c0:g.c1] for l in xlanes_all)
         folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
         kflat = tuple(
             p[g.c0:g.c1] for pair in (keys or ()) for p in pair[:wl]
@@ -1261,7 +1402,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             (pdc[g.c0:g.c1],) + p0_flat if pdiv is not None else ()
         )
         res = _run_group(
-            xcat, g.W1, g.W2, g.TA, g.consts, folds,
+            xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
             single=single, gk=g.gk,
@@ -1310,7 +1451,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         if tables.swap:
             out = jnp.swapaxes(out, -1, -2)
         out = out.reshape(*lead, C, N) if lead else out.reshape(C, N)
-        return out.astype(x.dtype)
+        return out.astype(x_dtype)
 
     if nkeys:
         return tuple(
@@ -1382,11 +1523,14 @@ def coef_row_pairs(row, tables: KTables):
     )
 
 
-def intt_pdiv(x, inv: KTables, p0_pairs, pdc, interpret: bool = False):
+def intt_pdiv(x, inv: KTables, p0_pairs, pdc, interpret: bool = False,
+              out_dtype=None):
     """Inverse NTT fused with the keyswitch P-division epilogue.
 
     x: [..., C, N] ordinary-channel rows (Montgomery form kept through
-    the transform, variant "mont").  ``p0_pairs``: per division i a
+    the transform, variant "mont"), or a (lo, hi) u32 pair in the
+    forward kernel layout [..., C, P1_fwd, P2_fwd] (e.g. the keyswitch
+    accumulator — no XLA-side merge).  ``p0_pairs``: per division i a
     (plo, phi) pair of the special-row value (from :func:`coef_row_pairs`,
     batch dims matching x's lead dims).  ``pdc``: u32 [C, 2 + 2*S] —
     per channel the base-2^32 pairs of Rs (Montgomery entry) and each
@@ -1394,7 +1538,8 @@ def intt_pdiv(x, inv: KTables, p0_pairs, pdc, interpret: bool = False):
     residue-identical to the reference's successive rescale
     (``ckks_engine.py:1068-1124``) followed by mont_reduce + reduce_2q.
     """
-    return _apply(x, inv, "mont", interpret, pdiv=(pdc, p0_pairs))
+    return _apply(x, inv, "mont", interpret, pdiv=(pdc, p0_pairs),
+                  out_dtype=out_dtype)
 
 
 def pair_to_poly(pair, tables: KTables, dtype=jnp.int64):
