@@ -7,6 +7,14 @@ is read at prm build):
     PYTHONPATH=. python benchmarks/profiling/ab_parts.py
     PYTHONPATH=. TIBERATE_PARTS_KERNEL=1 python benchmarks/profiling/ab_parts.py
 """
+import os as _os
+import sys as _sys
+
+# Self-locate the repo root: PYTHONPATH must stay untouched (the axon
+# TPU plugin is discovered via the session's PYTHONPATH).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+
 import os
 import time
 

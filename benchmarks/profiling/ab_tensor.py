@@ -1,4 +1,12 @@
 """A/B: fused ntt_tensor vs unfused enter_ntt+mont chain, logN15 TPU."""
+import os as _os
+import sys as _sys
+
+# Self-locate the repo root: PYTHONPATH must stay untouched (the axon
+# TPU plugin is discovered via the session's PYTHONPATH).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+
 import time
 import numpy as np
 import jax

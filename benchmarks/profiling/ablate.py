@@ -3,6 +3,14 @@
 Times step variants with stages removed; the deltas attribute time to
 each stage as it runs IN CONTEXT (same fusion environment).
 """
+import os as _os
+import sys as _sys
+
+# Self-locate the repo root: PYTHONPATH must stay untouched (the axon
+# TPU plugin is discovered via the session's PYTHONPATH).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+
 import time
 import numpy as np
 import jax

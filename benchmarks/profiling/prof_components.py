@@ -3,6 +3,14 @@
 Times each jitted stage with host-fetch sync; reports per-ct ms using the
 slope between iteration counts (cancels ~26ms tunnel overhead).
 """
+import os as _os
+import sys as _sys
+
+# Self-locate the repo root: PYTHONPATH must stay untouched (the axon
+# TPU plugin is discovered via the session's PYTHONPATH).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+
 import time, json
 import numpy as np
 import jax

@@ -1,4 +1,12 @@
 """Break down the _pdiv_fused epilogue cost on TPU (logN15, B=8)."""
+import os as _os
+import sys as _sys
+
+# Self-locate the repo root: PYTHONPATH must stay untouched (the axon
+# TPU plugin is discovered via the session's PYTHONPATH).
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.dirname(_os.path.abspath(__file__)))))
+
 import time
 import numpy as np
 import jax
