@@ -25,5 +25,7 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compile cache: engine cores compile once across pytest runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tiberate")
+# Separate directory from the TPU bench cache — concurrent writers to one
+# cache dir have produced a segfault in the zstandard cache-write path.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tiberate_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -675,7 +675,7 @@ def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
 
 
 def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
-                 gk=GROUP_K):
+                 gk=GROUP_K, ub=1):
     nd = 2 * L - 1
     w = 1 if single else 2   # lanes per value: single mode carries lo only
 
@@ -702,6 +702,25 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         q2lo = cons_ref[c, 2]     # 2q base-2^32 pair (single: 2q, 0)
         q2hi = cons_ref[c, 3]
         q2 = (q0, q1, q2lo, q2hi)
+
+        if ub > 1:
+            # Batch-unrolled transform-only cell: ``ub`` independent
+            # (x -> out) chains share one body, giving Mosaic's static
+            # scheduler MXU dots of one item to overlap with the VPU
+            # recombination of another (the kernel is VPU-bound with the
+            # MXU idle ~75% of the cell, PERFORMANCE.md "kernel-internal
+            # split").  Transform-only path (no keys/pdiv).
+            for u in range(ub):
+                xpair_u = (xrefs[0][u, 0],
+                           None if single else xrefs[1][u, 0])
+                olo, ohi = _cell_transform(
+                    xpair_u, c, fold_ref, w1_ref, w2_ref, ta_ref,
+                    s_ref.at[u], L, G, P1, P2, q2, single, gk,
+                )
+                out_refs[0][u, 0] = olo
+                if not single:
+                    out_refs[1][u, 0] = ohi
+            return
 
         xpair = (xrefs[0][0, 0], None if single else xrefs[1][0, 0])
         olo, ohi = _cell_transform(
@@ -1233,11 +1252,12 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
+    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
+                     "ub"),
 )
 def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
-               single=False, gk=GROUP_K):
+               single=False, gk=GROUP_K, ub=1):
     """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
     u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
@@ -1255,11 +1275,13 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     wl = 1 if single else 2   # lanes per value
     nkeys = len(keys) // wl
     npd = (len(pdiv) - 1) // wl if pdiv else 0
+    if nkeys or npd or B % ub:
+        ub = 1               # unroll is the transform-only fast path
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
-                          pdiv=npd, single=single, gk=gk)
-    grid = (Cg, B)
+                          pdiv=npd, single=single, gk=gk, ub=ub)
+    grid = (Cg, B // ub)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
-    out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+    out_spec = pl.BlockSpec((ub, 1, P1, P2), lambda c, b: (b, c, z, z),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
     n_out = wl * nkeys if nkeys else wl
@@ -1281,7 +1303,7 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [
-            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+            pl.BlockSpec((ub, 1, P1, P2), lambda c, b: (b, c, z, z),
                          memory_space=pltpu.VMEM)
             for _ in xlanes
         ] + [
@@ -1302,7 +1324,8 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
         ] + pd_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
-        scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM(
+            (ub, nd, P1, P2) if ub > 1 else (nd, P1, P2), jnp.int32)],
         input_output_aliases={
             5 + len(xlanes) + len(keys) + i: i for i in range(len(accum))
         },
@@ -1405,7 +1428,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=single, gk=g.gk,
+            single=single, gk=g.gk, ub=_transform_unroll(),
         )
         for i in range(n_out):
             outs[i].append(
