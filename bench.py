@@ -157,25 +157,8 @@ def _ntt_bench(eng, preset, iters, batch):
     }))
 
 
-def main():
-    preset = os.environ.get("TIBERATE_BENCH_PRESET", "logN15")
-    iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
-    batch = int(os.environ.get("TIBERATE_BENCH_BATCH", "8"))
-
-    import numpy as np
-
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-    jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/jax_cache_tiberate"
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    import jax.numpy as jnp
-
+def _build_engine(preset):
     from tiberate_tpu.engine import CkksEngine
-    from tiberate_tpu.parallel.sharded import make_mult_step, mult_step_params
 
     if preset == "toy":
         from tiberate_tpu.config.toy import toy_config
@@ -198,10 +181,17 @@ def main():
         )
     else:
         eng = CkksEngine(preset, seed=7)
+    return eng
 
-    if os.environ.get("TIBERATE_BENCH_KIND") == "ntt":
-        _ntt_bench(eng, preset, iters, batch)
-        return
+
+def _run_cc_mult(eng, preset, iters, batch):
+    """Measure the fused cc_mult step; returns the bench record dict."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tiberate_tpu.parallel.sharded import make_mult_step, mult_step_params
 
     rng = np.random.default_rng(7)
     ms1 = [rng.uniform(-1, 1, eng.num_slots) for _ in range(batch)]
@@ -245,26 +235,69 @@ def main():
 
     work_level = 1
     roofline, bounds = _roofline_ct_per_s(eng, work_level)
+    # Both denominators (VERDICT r2): the compute-aware roofline for the
+    # implemented algorithm (primary) AND the HBM-only bound (the r1
+    # denominator; no exact integer NTT can reach it, but it is
+    # design-choice-free).
+    hbm_roofline = 1e3 / bounds["hbm_ms"]
 
     value = 1.0 / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"cc_mult_{preset}_ct_per_s",
-                "value": round(value, 3),
-                "unit": "ciphertexts/s",
-                "vs_baseline": round(value / roofline, 4),
-                "extra": {
-                    "latency_ms_per_ct": round(dt * 1e3, 3),
-                    "batch": batch,
-                    "decrypt_max_err": err,
-                    "roofline_ct_per_s": round(roofline, 1),
-                    "roofline_bounds_ms": bounds,
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+    return {
+        "metric": f"cc_mult_{preset}_ct_per_s",
+        "value": round(value, 3),
+        "unit": "ciphertexts/s",
+        "vs_baseline": round(value / roofline, 4),
+        "extra": {
+            "latency_ms_per_ct": round(dt * 1e3, 3),
+            "batch": batch,
+            "decrypt_max_err": err,
+            "roofline_ct_per_s": round(roofline, 1),
+            "roofline_hbm_ct_per_s": round(hbm_roofline, 1),
+            "vs_hbm_roofline": round(value / hbm_roofline, 4),
+            "roofline_bounds_ms": bounds,
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def main():
+    """One driver run, TWO rows by default: the 62-bit logN15 preset
+    (primary, printed LAST so the driver's last-line parse picks it up)
+    and the equal-depth 30-bit inference preset (logN15_30).  Setting
+    TIBERATE_BENCH_PRESET pins a single preset (profiling workflows)."""
+    iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
+    batch = int(os.environ.get("TIBERATE_BENCH_BATCH", "8"))
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/jax_cache_tiberate"
     )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    pinned = os.environ.get("TIBERATE_BENCH_PRESET")
+    presets = [pinned] if pinned else ["logN15_30", "logN15"]
+
+    rows = []
+    for preset in presets:
+        eng = _build_engine(preset)
+        if os.environ.get("TIBERATE_BENCH_KIND") == "ntt":
+            _ntt_bench(eng, preset, iters, batch)
+            continue
+        rec = _run_cc_mult(eng, preset, iters, batch)
+        rows.append(rec)
+        del eng
+    if len(rows) == 2:
+        # primary row also carries the secondary's headline numbers, so a
+        # last-line-only parse still captures both operating points
+        rows[1]["extra"]["secondary_row"] = {
+            "metric": rows[0]["metric"],
+            "value": rows[0]["value"],
+            "vs_baseline": rows[0]["vs_baseline"],
+        }
+    for rec in rows:
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -4,8 +4,11 @@
 Run twice from the repo root (fresh process per variant — the env gate
 is read at prm build):
 
-    PYTHONPATH=. python benchmarks/profiling/ab_parts.py
-    PYTHONPATH=. TIBERATE_PARTS_KERNEL=1 python benchmarks/profiling/ab_parts.py
+    python benchmarks/profiling/ab_parts.py
+    TIBERATE_PARTS_KERNEL=1 python benchmarks/profiling/ab_parts.py
+
+(Do NOT override PYTHONPATH — the TPU plugin is discovered through it;
+the script self-locates the repo root below.)
 """
 import os as _os
 import sys as _sys

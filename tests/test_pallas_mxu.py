@@ -16,6 +16,18 @@ from tiberate_tpu.ops import mxu_ntt, pallas_mxu
 from tiberate_tpu.utils.primes import find_the_next_prime
 
 
+@pytest.fixture(autouse=True)
+def _fresh_compile_state():
+    """Release compiled executables between tests: this module compiles
+    dozens of interpret-mode pallas programs, and the accumulated XLA:CPU
+    JIT state has segfaulted the process at late tests (reproduced at
+    different tests across runs, always inside backend compile or the
+    cache writer, r3).  Each test here compiles its own programs anyway,
+    so clearing costs little."""
+    jax.clear_caches()
+    yield
+
+
 def _primes(logN, qbits_list):
     N = 1 << logN
     q, start = [], {}
@@ -522,3 +534,175 @@ def test_engine_parts_kernel_parity_30bit(monkeypatch):
     mp = e_pm.cc_mult(e_pm.encodecrypt(m), e_pm.encodecrypt(m))
     for a, b in zip(mr.data, mp.data):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("ub", [2, 4])
+def test_pallas_mxu_batch_unroll(monkeypatch, ub):
+    """TIBERATE_TRANSFORM_UNROLL=ub (batch-unrolled transform-only
+    kernel, per-item scratch views): bit-exact vs ub=1 on both lane
+    widths, including a batch not divisible by ub (falls back to ub=1)."""
+    monkeypatch.setenv("TIBERATE_TRANSFORM_UNROLL", str(ub))
+
+    def _with_unroll(fn):
+        pallas_mxu._transform_unroll.cache_clear()
+        try:
+            return fn()
+        finally:
+            pallas_mxu._transform_unroll.cache_clear()
+
+    logN = 6
+    N = 1 << logN
+    rng = np.random.default_rng(11)
+
+    # 62-bit pair lane
+    q = _primes(logN, [40, 60])
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    xb = jnp.array(np.stack([
+        np.stack([rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q])
+        for _ in range(4)
+    ]))
+    fwd = pallas_mxu.build_tables(q, logN)
+    inv = pallas_mxu.build_tables(q, logN, inverse=True)
+    for f in (
+        lambda a: pallas_mxu.ntt(a, fwd, enter=True, interpret=True),
+        lambda a: pallas_mxu.intt(a, inv, epilogue="exit", interpret=True),
+    ):
+        base = np.asarray(f(xb))
+        got = np.asarray(_with_unroll(lambda: f(xb)))
+        np.testing.assert_array_equal(base, got)
+        # batch % ub != 0: silently runs ub=1, still exact
+        got3 = np.asarray(_with_unroll(lambda: f(xb[:3])))
+        np.testing.assert_array_equal(base[:3], got3)
+
+    # 30-bit single lane
+    q30, start = [], 2**28 - 1
+    for _ in range(2):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q30.append(p)
+    x30 = jnp.array(np.stack([
+        np.stack([rng.integers(0, 2 * qi, N, dtype=np.int64)
+                  for qi in q30])
+        for _ in range(4)
+    ]).astype(np.int32))
+    fwd30 = pallas_mxu.build_tables(q30, logN, mont_R_bits=30)
+    base = np.asarray(pallas_mxu.ntt(x30, fwd30, enter=True,
+                                     interpret=True))
+    got = np.asarray(_with_unroll(
+        lambda: pallas_mxu.ntt(x30, fwd30, enter=True, interpret=True)))
+    np.testing.assert_array_equal(base, got)
+
+
+def test_pallas_mxu_under_shard_map():
+    """The kernel x sharding composition a real multi-chip TPU run hits
+    first (VERDICT r2 #5): pallas_mxu running INSIDE shard_map, (a)
+    batch-sharded — the data-parallel serving shape — and (b)
+    RNS-channel-sharded with per-shard kernel tables rebuilt from
+    sharded table blocks — the reference's primary multi-GPU axis
+    (``ckks_engine.py:988-1058``).  Bit-exact vs the unsharded kernel."""
+    from tiberate_tpu.parallel._compat import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tiberate_tpu.ops.pallas_mxu import KGroup, KTables
+
+    logN = 6
+    N = 1 << logN
+    q = _primes(logN, [40, 40, 40, 40])   # uniform limb count: one group
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(17)
+    x = jnp.array(np.stack([
+        np.stack([rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q])
+        for _ in range(4)
+    ]))                                    # [B=4, C=4, N]
+    fwd = pallas_mxu.build_tables(q, logN)
+    ref = np.asarray(pallas_mxu.ntt(x, fwd, enter=True, interpret=True))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2),
+                axis_names=("dp", "rns"))
+
+    # (a) batch-sharded: each shard transforms its own ciphertexts
+    dp = shard_map(
+        lambda blk: pallas_mxu.ntt(blk, fwd, enter=True, interpret=True),
+        mesh=mesh, in_specs=P("dp"), out_specs=P("dp"),
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
+    got = np.asarray(jax.jit(dp)(xs))
+    np.testing.assert_array_equal(ref % qcol, got % qcol)
+
+    # (b) channel-sharded: per-shard tables arrive as sharded blocks and
+    # the body rebuilds a block-local KTables (uniform L, c0=0)
+    g = fwd.groups[0]
+    ro = len(q) // 2
+    sc = fwd.scalars["enter"]
+
+    def rns_fn(blk, W1, W2, TA, consts, scal):
+        gb = KGroup(L=g.L, c0=0, c1=ro, W1=W1, W2=W2, TA=TA,
+                    consts=consts, gk=g.gk)
+        tb = KTables((gb,), {"enter": scal}, fwd.P1, fwd.P2, fwd.swap,
+                     fwd.lane)
+        return pallas_mxu.ntt(blk, tb, enter=True, interpret=True)
+
+    rns = shard_map(
+        rns_fn, mesh=mesh,
+        in_specs=(P(None, "rns"), P("rns"), P("rns"), P("rns"), P("rns"),
+                  P("rns")),
+        out_specs=P(None, "rns"),
+    )
+    got2 = np.asarray(jax.jit(rns)(
+        x, g.W1, g.W2, g.TA, g.consts, sc))
+    np.testing.assert_array_equal(ref % qcol, got2 % qcol)
+
+
+def test_pallas_mxu_p1_blocking(monkeypatch):
+    """TIBERATE_PMXU_P1B forces the streamed row-block path (the
+    logN >= 17 VMEM regime, VERDICT r2 #6): bit-exact vs the unblocked
+    kernel for the plain transform, the fused keymul epilogue and the
+    inverse direction, on both lane widths."""
+    logN = 6
+    N = 1 << logN
+    rng = np.random.default_rng(23)
+
+    q = _primes(logN, [40, 60])
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    x = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]))
+    fwd = pallas_mxu.build_tables(q, logN)
+    inv = pallas_mxu.build_tables(q, logN, inverse=True)
+    k = jnp.array(np.stack(
+        [rng.integers(0, qi, N, dtype=np.int64) for qi in q]))
+    kp = pallas_mxu.key_pairs(k, fwd)
+
+    base_f = np.asarray(pallas_mxu.ntt(x, fwd, enter=True, interpret=True))
+    base_i = np.asarray(pallas_mxu.intt(x, inv, epilogue="exit",
+                                        interpret=True))
+    base_k = [np.asarray(t) for t in pallas_mxu.ntt_keymul(
+        x, fwd, (kp,), interpret=True)]
+
+    monkeypatch.setenv("TIBERATE_PMXU_P1B", "4")
+    got_f = np.asarray(pallas_mxu.ntt(x, fwd, enter=True, interpret=True))
+    got_i = np.asarray(pallas_mxu.intt(x, inv, epilogue="exit",
+                                       interpret=True))
+    got_k = [np.asarray(t) for t in pallas_mxu.ntt_keymul(
+        x, fwd, (kp,), interpret=True)]
+    np.testing.assert_array_equal(base_f, got_f)
+    np.testing.assert_array_equal(base_i, got_i)
+    for a, b in zip(base_k, got_k):
+        np.testing.assert_array_equal(a, b)
+
+    # single-lane (30-bit) blocked
+    monkeypatch.delenv("TIBERATE_PMXU_P1B")
+    q30, start = [], 2**28 - 1
+    for _ in range(2):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q30.append(p)
+    x30 = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q30]
+    ).astype(np.int32))
+    fwd30 = pallas_mxu.build_tables(q30, logN, mont_R_bits=30)
+    base30 = np.asarray(pallas_mxu.ntt(x30, fwd30, enter=True,
+                                       interpret=True))
+    monkeypatch.setenv("TIBERATE_PMXU_P1B", "4")
+    got30 = np.asarray(pallas_mxu.ntt(x30, fwd30, enter=True,
+                                      interpret=True))
+    np.testing.assert_array_equal(base30, got30)

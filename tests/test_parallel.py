@@ -123,6 +123,10 @@ def test_rns_sharded_keyswitch():
     assert "single-gather epilogue: True" in out.stdout
     # special rows round-robined over shards (near-perfect work scaling)
     assert "scatter_special bit-exact: True" in out.stdout
+    # engine integration: make_mult_step on a (batch, rns) engine mesh
+    # uses the shard_map switcher — bit-exact, one all_gather total
+    assert "engine mesh step bit-exact: True" in out.stdout
+    assert "engine one-gather structure: True" in out.stdout
 
 
 def test_multihost_two_process():

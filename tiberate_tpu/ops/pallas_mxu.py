@@ -446,14 +446,16 @@ def _shoup_mult(xlo, xhi, w0, w1, s0, s1, q0, q1, q2lo, q2hi):
 
     (w0, w1) / (s0, s1) / (q0, q1) are 31-bit splits of the constant w,
     its Shoup companion w' = floor(w * 2^62 / q), and q.  t is the
-    31-bit-half mulhi floor_approx(w' x / 2^62) with slack <= 1, so
-    r = w*x - t*q < q*(x/2^62 + 2) < 2.5q; one conditional subtract of
-    2q lands in [0, 2q).
+    31-bit-half mulhi floor_approx(w' x / 2^62); the x0*s0 cross term
+    (< 2^62, i.e. < 1 after the >> 62) is DROPPED, widening the slack
+    to <= 2, so r = w*x - t*q < q*(x/2^62 + 3) < 3.5q — still a single
+    conditional subtract of 2q to land in [0, 2q) (3.5q < 2^64 for
+    q < 2^62).  Saves one _mul31 + shift + add per fold (~10% of the
+    fold mult) at zero accuracy cost on the lazy interface.
     """
     x0, x1 = _split31(xlo, xhi)
-    # t = x1*s1 + ((x1*s0 + x0*s1 + (x0*s0 >> 31)) >> 31)
+    # t = x1*s1 + ((x1*s0 + x0*s1) >> 31)     (x0*s0 term dropped)
     mlo, mhi = _add64(*_mul31(x1, s0), *_mul31(x0, s1))
-    mlo, mhi = _add64(mlo, mhi, *_shr31(*_mul31(x0, s0)))
     mlo, mhi = _shr31(mlo, mhi)
     tlo, thi = _add64(*_mul31(x1, s1), mlo, mhi)
     t0, t1 = _split31(tlo, thi)
@@ -1140,43 +1142,51 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk"),
+    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
+                     "p1b"),
 )
 def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
-                      interpret=False, single=False, gk=GROUP_K):
+                      interpret=False, single=False, gk=GROUP_K,
+                      p1b=None):
     """xlanes: 4 * wl u32 [B, Cg, P1, P2] raw-residue lanes (lo[, hi]
     per input) -> six u32 [B, Cg, P1, P2] outputs (d0, d1, d2 as
     (lo, hi) pairs; lo only in single mode)."""
     B, Cg = xlanes[0].shape[:2]
     nd = 2 * L - 1
+    wl = 1 if single else 2
+    if p1b is None:
+        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys=0, npd=0,
+                        x_lanes=4 * wl, out_rows=3 * wl,
+                        budget=_TENSOR_BUDGET)
     kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
-    grid = (Cg, B)
+    grid = (Cg, B, P1 // p1b)
     z = np.int32(0)
     n_out = 3 if single else 6
-    x_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+    x_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+    out_spec = pl.BlockSpec((1, 1, p1b, P2), lambda c, b, p: (b, c, p, z),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Cg, 6), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [x_spec] * len(xlanes) + [
-            pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
+            pl.BlockSpec((1, L, p1b, P1), lambda c, b, p: (c, z, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
+            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
+            pl.BlockSpec((1, G, 4, p1b, P2),
+                         lambda c, b, p: (c, z, z, p, z),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
-        scratch_shapes=[pltpu.VMEM((nd, P1, P2), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((nd, p1b, P2), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * Cg * L * L * P1 * P2 * (P1 + P2),
             bytes_accessed=B * Cg * P1 * P2 * (16 * len(xlanes) // 8 + 24),
@@ -1228,6 +1238,9 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             single=single, gk=g.gk,
+            p1b=_pick_p1b(L, g.n_groups, P1, P2, wl, nkeys=0, npd=0,
+                          x_lanes=4 * wl, out_rows=3 * wl,
+                          budget=_TENSOR_BUDGET),
         )
         for i in range(3 * wl):
             outs[i].append(res[i])
@@ -1250,14 +1263,74 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
     return finish(0), finish(1), finish(2)
 
 
+def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
+              out_rows=None, budget=int(11.5 * 2**20)) -> int:
+    """Row-block size for the P1 axis: the full P1 when the cell's VMEM
+    working set fits (the logN <= 16 regime), else the largest power-of-
+    two fraction that fits — streaming row blocks through VMEM is what
+    lifts the logN >= 17 cap (VERDICT r2 #6).  Estimate counts the
+    dominant per-cell buffers (x lanes + xcat stay FULL: step A contracts
+    over all P1 rows); override with TIBERATE_PMXU_P1B."""
+    import os
+
+    env = os.environ.get("TIBERATE_PMXU_P1B")
+    if env:
+        return min(P1, int(env))
+    nd = 2 * L - 1
+    if x_lanes is None:
+        x_lanes = wl
+    if out_rows is None:
+        # outputs + key planes + accumulators + pdiv rows, all [p1b, P2]
+        out_rows = wl * (1 + 4 * nkeys + npd)
+    p1b = P1
+    while p1b > 8:
+        est = (
+            x_lanes * 4 * P1 * P2     # resident raw-residue lanes
+            + L * P1 * P2             # xcat int8 (full rows, one live)
+            + L * p1b * P1            # W1 block int8
+            + P2 * L * P2             # W2 int8
+            + G * 4 * p1b * P2 * 4    # TA planes u32
+            + nd * p1b * P2 * 4       # diagonal scratch int32
+            + p1b * L * P2 * 4        # one dot output int32
+            + 4 * p1b * P2 * out_rows
+        )
+        if est <= budget:
+            break
+        p1b //= 2
+    return p1b
+
+
+# The tensor kernel keeps 4 polynomials (8 u32 lanes) resident per cell,
+# so its real scoped-VMEM use runs ~2x the _pick_p1b estimate (measured:
+# 22.12M at logN17-fwd where the estimate said ~11M).  Budget it at half
+# and require a non-degenerate row block; past that, the engine falls
+# back to 4 single-poly blocked NTTs + XLA products (tensor_fits).
+_TENSOR_BUDGET = int(5.75 * 2**20)
+_TENSOR_MIN_P1B = 32
+
+
+def tensor_fits(tables: KTables) -> bool:
+    """Whether the fused 4-transform tensor kernel's working set fits
+    VMEM for every channel group of these tables (logN <= 16 presets:
+    yes; logN17 forward: no — 8 resident lanes leave no headroom)."""
+    wl = 1 if tables.lane == "single" else 2
+    for g in tables.groups:
+        p1b = _pick_p1b(g.L, g.n_groups, tables.P1, tables.P2, wl,
+                        nkeys=0, npd=0, x_lanes=4 * wl, out_rows=3 * wl,
+                        budget=_TENSOR_BUDGET)
+        if p1b < _TENSOR_MIN_P1B and p1b < tables.P1:
+            return False
+    return True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
-                     "ub"),
+                     "ub", "p1b"),
 )
 def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
-               single=False, gk=GROUP_K, ub=1):
+               single=False, gk=GROUP_K, ub=1, p1b=None):
     """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
     u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
@@ -1269,63 +1342,73 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     With ``pdiv`` = (pdc [Cg, 2+2S] u32, *flat (plo, phi) u32
     [B, P1, P2] per division): the P-division epilogue runs in-kernel
     and the output is canonical [0, q).
+
+    When the per-cell VMEM working set exceeds the budget (logN >= 17),
+    the P1 (row) axis is streamed in blocks through a third grid
+    dimension — rows are independent everywhere past the step-A
+    contraction, which reads the (resident) full x block.
     """
     B, Cg = xlanes[0].shape[:2]
     nd = 2 * L - 1
     wl = 1 if single else 2   # lanes per value
     nkeys = len(keys) // wl
     npd = (len(pdiv) - 1) // wl if pdiv else 0
-    if nkeys or npd or B % ub:
+    if p1b is None:
+        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys, npd)
+    if nkeys or npd or B % ub or p1b != P1:
         ub = 1               # unroll is the transform-only fast path
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
                           pdiv=npd, single=single, gk=gk, ub=ub)
-    grid = (Cg, B // ub)
+    grid = (Cg, B // ub, P1 // p1b)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
-    out_spec = pl.BlockSpec((ub, 1, P1, P2), lambda c, b: (b, c, z, z),
+    out_spec = pl.BlockSpec((ub, 1, p1b, P2), lambda c, b, p: (b, c, p, z),
                             memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Cg, P1, P2), jnp.uint32)
     n_out = wl * nkeys if nkeys else wl
     pd_specs = []
     if pdiv:
         pd_specs.append(
-            pl.BlockSpec((Cg, 2 + 2 * npd), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 2 + 2 * npd), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM))
         pd_specs.extend(
-            pl.BlockSpec((1, P1, P2), lambda c, b: (b, z, z),
+            pl.BlockSpec((1, p1b, P2), lambda c, b, p: (b, p, z),
                          memory_space=pltpu.VMEM)
             for _ in range(wl * npd))
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Cg, 6), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cg, 4 * G), lambda c, b: (z, z),
+            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [
-            pl.BlockSpec((ub, 1, P1, P2), lambda c, b: (b, c, z, z),
+            # full rows: step A contracts over the whole P1 axis; the
+            # index map is constant in p, so the block stays resident
+            pl.BlockSpec((ub, 1, P1, P2), lambda c, b, p: (b, c, z, z),
                          memory_space=pltpu.VMEM)
             for _ in xlanes
         ] + [
-            pl.BlockSpec((1, L, P1, P1), lambda c, b: (c, z, z, z),
+            pl.BlockSpec((1, L, p1b, P1), lambda c, b, p: (c, z, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, L * P2), lambda c, b: (c, z, z),
+            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, P1, P2), lambda c, b: (c, z, z, z, z),
+            pl.BlockSpec((1, G, 4, p1b, P2),
+                         lambda c, b, p: (c, z, z, p, z),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, P1, P2), lambda c, b: (c, z, z),
+            pl.BlockSpec((1, p1b, P2), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM)
             for _ in keys
         ] + [
-            pl.BlockSpec((1, 1, P1, P2), lambda c, b: (b, c, z, z),
+            pl.BlockSpec((1, 1, p1b, P2), lambda c, b, p: (b, c, p, z),
                          memory_space=pltpu.VMEM)
             for _ in accum
         ] + pd_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[pltpu.VMEM(
-            (ub, nd, P1, P2) if ub > 1 else (nd, P1, P2), jnp.int32)],
+            (ub, nd, p1b, P2) if ub > 1 else (nd, p1b, P2), jnp.int32)],
         input_output_aliases={
             5 + len(xlanes) + len(keys) + i: i for i in range(len(accum))
         },
@@ -1345,6 +1428,20 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
 # ENGINE-level kernel paths (which call with interpret=False) without
 # real TPU hardware.
 INTERPRET = False
+
+
+@functools.lru_cache(maxsize=1)
+def _transform_unroll() -> int:
+    """Batch-unroll factor for the transform-only kernel (``ub`` in
+    :func:`_run_group`): processes ``ub`` batch items per grid cell so
+    the MXU dots of item u+1 can overlap the VPU recombination of item
+    u.  Experimental: default 1 (off); override with
+    TIBERATE_TRANSFORM_UNROLL=2/4 to A/B on chip.  Fused-epilogue
+    variants (keys / pdiv) and batches not divisible by ``ub`` always
+    run ub=1 (see _run_group)."""
+    import os
+
+    return max(1, int(os.environ.get("TIBERATE_TRANSFORM_UNROLL", "1")))
 
 
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
@@ -1424,11 +1521,16 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         pdflat = (
             (pdc[g.c0:g.c1],) + p0_flat if pdiv is not None else ()
         )
+        # p1b picked HERE (not inside the jitted _run_group) so it is
+        # part of the jit key — the env override then always takes
         res = _run_group(
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
             single=single, gk=g.gk, ub=_transform_unroll(),
+            p1b=_pick_p1b(L, g.n_groups, P1, P2, wl,
+                          len(kflat) // wl,
+                          (len(pdflat) - 1) // wl if pdflat else 0),
         )
         for i in range(n_out):
             outs[i].append(

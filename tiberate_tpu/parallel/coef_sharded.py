@@ -25,7 +25,7 @@ pairings and ICI inside a slice.
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
+from tiberate_tpu.parallel._compat import shard_map
 from jax.sharding import PartitionSpec as P
 
 from tiberate_tpu.ops import mont
@@ -148,7 +148,7 @@ def make_coef_sharded_ntt(lp, logN: int, mesh, axis: str = "coef"):
 
     spec = P(None, axis)
     ntt_fn = shard_map(ntt_shard, mesh=mesh, in_specs=(spec,),
-                       out_specs=spec, check_rep=False)
+                       out_specs=spec)
     intt_fn = shard_map(intt_shard, mesh=mesh, in_specs=(spec,),
-                        out_specs=spec, check_rep=False)
+                        out_specs=spec)
     return ntt_fn, intt_fn

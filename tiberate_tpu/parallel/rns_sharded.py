@@ -24,10 +24,23 @@ Collectives ride the ICI when the 'rns' axis is an intra-slice mesh axis.
 Requires the ordinary channel count to divide the axis size.
 """
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tiberate_tpu.parallel._compat import shard_map
+
+
+class RnsKsk(NamedTuple):
+    """Pre-split ksk rows for the sharded switchers (``prepare_ksk``):
+    ``o`` ordinary rows (sharded over the rns axis), ``s`` special rows
+    (replicated; round-robined in scatter_special mode)."""
+
+    o: tuple
+    s: tuple
 
 from tiberate_tpu.engine.ckks_engine import _pre_extend
 from tiberate_tpu.ops import mont, ntt
@@ -209,18 +222,48 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(axis), P()),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
     )
 
-    def switcher(a, ksk_parts_full):
-        """a: [C_ord, N]; ksk_parts_full: engine ksk .data tuple."""
+    def _split_ksk(ksk_parts_full):
         ksk_o, ksk_s = [], []
         for g in alloc:
             k0, k1 = ksk_parts_full[g]
             ksk_o += [k0[level:Pn], k1[level:Pn]]
             ksk_s += [k0[Pn:], k1[Pn:]]
-        return sharded(a, ot, st, tuple(ksk_o), tuple(ksk_s))
+        return tuple(ksk_o), tuple(ksk_s)
 
+    def prepare_ksk(ksk_parts_full):
+        """Eagerly pre-split + pre-shard the ksk rows for in-jit use:
+        ordinary rows over ``axis``, special rows replicated.  Slicing a
+        sharded ksk INSIDE the jit would force GSPMD resharding
+        collectives at every shard_map boundary."""
+        ksk_o, ksk_s = _split_ksk(ksk_parts_full)
+        sh_o = NamedSharding(mesh, P(axis))
+        sh_s = NamedSharding(mesh, P())
+        return RnsKsk(
+            tuple(jax.device_put(k, sh_o) for k in ksk_o),
+            tuple(jax.device_put(k, sh_s) for k in ksk_s),
+        )
+
+    def switcher(a, ksk, tables=None):
+        """a: [C_ord, N]; ksk: engine ksk .data tuple, or the
+        :func:`prepare_ksk` pre-split/pre-sharded form (preferred inside
+        larger jits).
+
+        ``tables`` (default: the closure's (ot, st)) lets an outer jit
+        pass the twiddle/constant tables as RUNTIME arguments instead of
+        baking them into the HLO as literals (``switcher.tables`` is the
+        matching pytree — thread it through e.g. ``mult_step_params``).
+        """
+        ot_, st_ = tables if tables is not None else (ot, st)
+        if isinstance(ksk, RnsKsk):
+            ksk_o, ksk_s = ksk.o, ksk.s
+        else:
+            ksk_o, ksk_s = _split_ksk(ksk)
+        return sharded(a, ot_, st_, ksk_o, ksk_s)
+
+    switcher.tables = (ot, st)
+    switcher.prepare_ksk = prepare_ksk
     return switcher
 
 
@@ -341,17 +384,38 @@ def _make_scatter_special(mesh, axis, parts, alloc, level, Pn,
         shard_fn, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P(axis), P(axis)),
         out_specs=(P(axis), P(axis)),
-        check_rep=False,
     )
 
-    def switcher(a, ksk_parts_full):
-        """a: [C_ord, N]; ksk_parts_full: engine ksk .data tuple."""
+    def _split_ksk(ksk_parts_full):
         ksk_o, ksk_sp = [], []
         idx = jnp.array(src)
         for g in alloc:
             k0, k1 = ksk_parts_full[g]
             ksk_o += [k0[level:Pn], k1[level:Pn]]
             ksk_sp += [k0[Pn:][idx], k1[Pn:][idx]]
-        return sharded(a, ot, stp, stsm, tuple(ksk_o), tuple(ksk_sp))
+        return tuple(ksk_o), tuple(ksk_sp)
 
+    def prepare_ksk(ksk_parts_full):
+        """Pre-split + pre-shard (see the replicated-special variant);
+        the round-robined special rows are sharded over ``axis`` too."""
+        ksk_o, ksk_sp = _split_ksk(ksk_parts_full)
+        sh = NamedSharding(mesh, P(axis))
+        return RnsKsk(
+            tuple(jax.device_put(k, sh) for k in ksk_o),
+            tuple(jax.device_put(k, sh) for k in ksk_sp),
+        )
+
+    def switcher(a, ksk, tables=None):
+        """a: [C_ord, N]; ksk: engine ksk .data tuple or the
+        :func:`prepare_ksk` form.
+        ``tables``: see the replicated-special ``switcher`` docstring."""
+        ot_, stp_, stsm_ = tables if tables is not None else (ot, stp, stsm)
+        if isinstance(ksk, RnsKsk):
+            ksk_o, ksk_sp = ksk.o, ksk.s
+        else:
+            ksk_o, ksk_sp = _split_ksk(ksk)
+        return sharded(a, ot_, stp_, stsm_, ksk_o, ksk_sp)
+
+    switcher.tables = (ot, stp, stsm)
+    switcher.prepare_ksk = prepare_ksk
     return switcher

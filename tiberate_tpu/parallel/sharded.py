@@ -9,15 +9,68 @@ the ``rns`` axis; the pinned-buffer rescaler broadcast
 (``ckks_engine.py:1224-1236``) becomes an all-gather of one channel row.
 """
 
+import os
+
 from tiberate_tpu.engine.ckks_engine import (
     _ccmult_tensor_core,
+    _intt_exit_reduce,
     _relin_core,
     _rescale_core,
 )
+from tiberate_tpu.ops import mont
+
+
+def _rns_axis(eng, work_level):
+    """The engine-mesh rns axis name when the explicit-collective
+    shard_map keyswitch applies (axis present, >1 device, channel count
+    divisible), else None."""
+    mesh = getattr(eng, "mesh", None)
+    if mesh is None or "rns" not in mesh.axis_names:
+        return None
+    D = mesh.shape["rns"]
+    if D <= 1 or eng._lp(work_level, False).num_channels % D:
+        return None
+    return "rns"
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _rns_switcher(eng, work_level, axis):
+    """The shard_map keyswitch for the engine mesh (parallel/rns_sharded):
+    scatter_special kicks in past D=2, where the replicated-special
+    epilogue's f(D) wall costs >10% (benchmarks/SCALING.md); override
+    with TIBERATE_SCATTER_SPECIAL=0/1.  Cached per (engine, level): the
+    same instance serves make_mult_step, mult_step_params and
+    prepare_step_ksk."""
+    from tiberate_tpu.parallel.rns_sharded import make_rns_sharded_switcher
+
+    D = eng.mesh.shape[axis]
+    env = os.environ.get("TIBERATE_SCATTER_SPECIAL")
+    scatter = (D > 2) if env is None else env == "1"
+    return make_rns_sharded_switcher(eng, work_level, eng.mesh, axis=axis,
+                                     scatter_special=scatter)
+
+
+def prepare_step_ksk(eng, level: int = 0, pre_rescale: bool = True,
+                     ksk=None):
+    """The ksk argument for :func:`make_mult_step`'s step function.
+
+    Engine-mesh rns mode: the pre-split, pre-sharded ``RnsKsk`` (slicing
+    a sharded ksk inside the jit would reshard at every shard_map
+    boundary — prepare it eagerly instead).  Otherwise the engine device
+    form (pair-split on the Pallas path)."""
+    work_level = level + 1 if pre_rescale else level
+    axis = _rns_axis(eng, work_level)
+    if axis:
+        sw = _rns_switcher(eng, work_level, axis)
+        return sw.prepare_ksk(tuple((ksk or eng.evk).data))
+    return tuple(eng._ksk_device(ksk or eng.evk))
 
 
 def mult_step_params(eng, level: int = 0, pre_rescale: bool = True,
-                     ksk=None):
+                     ksk=None, rns_shard=None):
     """The parameter pytree for :func:`make_mult_step`'s step function.
 
     Passed as a jit ARGUMENT (not a closure constant): closed-over arrays
@@ -26,6 +79,7 @@ def mult_step_params(eng, level: int = 0, pre_rescale: bool = True,
     remote-compile transport on tunneled TPUs).
     """
     work_level = level + 1 if pre_rescale else level
+    axis = _rns_axis(eng, work_level) if rns_shard in (None, True) else None
     return dict(
         rescale_scale=(
             eng.params.rescale_scales[level] if pre_rescale else None
@@ -37,10 +91,16 @@ def mult_step_params(eng, level: int = 0, pre_rescale: bool = True,
         PiRs=tuple(eng.params.PiRs[work_level]),
         inpart=eng._ksk_inpart(ksk or eng.evk, work_level),
         parts_fused=eng._ksk_parts_fused(ksk or eng.evk, work_level),
+        # explicit-collective keyswitch tables (engine mesh, rns axis):
+        # ride as runtime buffers, like everything else in this pytree
+        rns_tables=(
+            _rns_switcher(eng, work_level, axis).tables if axis else None
+        ),
     )
 
 
-def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
+def make_mult_step(eng, level: int = 0, pre_rescale: bool = True,
+                   rns_shard=None):
     """Returns step_fn(a0, a1, b0, b1, ksk_parts, prm) -> (ct0, ct1).
 
     ``prm`` is the :func:`mult_step_params` pytree; pass it per call so
@@ -52,6 +112,9 @@ def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
         round_at = eng.params.q[level] // 2
     work_level = level + 1 if pre_rescale else level
     alloc = tuple(eng.params.parts_alloc[work_level])
+    axis = (_rns_axis(eng, work_level)
+            if rns_shard in (None, True) else None)
+    switcher = _rns_switcher(eng, work_level, axis) if axis else None
 
     def step(a0, a1, b0, b1, ksk_parts, prm):
         if pre_rescale:
@@ -61,6 +124,23 @@ def make_mult_step(eng, level: int = 0, pre_rescale: bool = True):
             b0 = _rescale_core(b0, rs, lpn, round_at, True)
             b1 = _rescale_core(b1, rs, lpn, round_at, True)
         d0, d1, d2 = _ccmult_tensor_core(a0, a1, b0, b1, prm["lp_ord"])
+        if switcher is not None:
+            # Engine-mesh rns axis: relinearize through the explicit-
+            # collective shard_map keyswitch (one all_gather per switch,
+            # parallel/rns_sharded.py) instead of GSPMD propagation —
+            # the communication structure of the reference's multi-GPU
+            # loop (``ckks_engine.py:988-1058``) as XLA collectives.
+            # ``ksk_parts`` must be the PLAIN ksk .data tuple here (the
+            # switcher does its own part selection + slicing); batch
+            # callers vmap with spmd_axis_name="batch".
+            lp_ord = prm["lp_ord"]
+            d0 = _intt_exit_reduce(d0, lp_ord)
+            d1 = _intt_exit_reduce(d1, lp_ord)
+            d2 = _intt_exit_reduce(d2, lp_ord)
+            c0, c1 = switcher(d2, ksk_parts, prm["rns_tables"])
+            ct0 = mont.reduce_2q(d0 + c0, lp_ord.pack)
+            ct1 = mont.reduce_2q(d1 + c1, lp_ord.pack)
+            return ct0, ct1
         ksk_sel = tuple(ksk_parts[g] for g in alloc)
         return _relin_core(
             d0, d1, d2, ksk_sel, prm["parts"], prm["lp_sp"],

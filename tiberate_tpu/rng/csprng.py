@@ -303,3 +303,27 @@ class Csprng:
         words, stepped = self._chacha_and_step(target)
         self.states = self.states.at[:L16].set(stepped)
         return self._randround_core(coef, words)
+
+    def randround_batch(self, coefs):
+        """Stochastically round a BATCH of f64 coefficients [B, N] in one
+        device dispatch — bit-identical to B sequential :meth:`randround`
+        calls: replica k's threshold states are the stored states with
+        counters advanced by k * inc (exactly where call k would have
+        found them), and the stored counters advance by B * inc."""
+        coefs = jnp.asarray(coefs, dtype=jnp.float64)
+        B = coefs.shape[0]
+        if B == 1:
+            return self.randround(coefs[0])[None]
+        L16 = self.num_coefs // 16
+        base = self.states[:L16]
+        targets = jnp.concatenate(
+            [step_counter(base, k * self.inc) if k else base
+             for k in range(B)]
+        )                                   # [B*L16, 16]
+        words = chacha20_block(targets)
+        self.states = self.states.at[:L16].set(
+            step_counter(base, B * self.inc)
+        )
+        return self._randround_core(
+            coefs.reshape(-1), words
+        ).reshape(B, -1)
