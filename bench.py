@@ -117,14 +117,17 @@ def _ntt_bench(eng, preset, iters, batch):
                     else jnp.int32)
         for _ in range(batch)
     ])
-    f = jax.jit(jax.vmap(lambda a: E._enter_ntt(a, lp)))
-    out = f(x)
+    # lp rides as an ARGUMENT: closed over, its tables would be baked
+    # into the HLO as literals (hundreds of MB at logN17 — overflows the
+    # tunneled remote-compile transport with HTTP 413)
+    f = jax.jit(jax.vmap(E._enter_ntt, in_axes=(0, None)))
+    out = f(x, lp)
     np.asarray(out[0, 0, :4])
     ts = []
     for it in (iters, 3 * iters):
         t0 = time.perf_counter()
         for _ in range(it):
-            out = f(x)
+            out = f(x, lp)
         np.asarray(out[0, 0, :4])
         ts.append(time.perf_counter() - t0)
     dt = (ts[1] - ts[0]) / (2 * iters) / batch   # per [C, N] transform
@@ -174,11 +177,28 @@ def _build_engine(preset):
 
         logN = int(preset[len("logN"):-len("_30")])
         depth = CkksConfig.parse(f"logN{logN}").num_scales
-        eng = CkksEngine(
-            dict(logN=logN, buffer_bit_length=30, scale_bits=25,
-                 num_special_primes=2, num_scales=depth),
-            seed=7,
-        )
+        # 25-bit NTT-friendly primes at 2N spacing run out before the
+        # 62-bit preset depth at large rings (logN17: 16 available) —
+        # cap to what the chain supports
+        from tiberate_tpu.utils.primes import generate_scale_primes
+
+        avail = len(generate_scale_primes()[(25, 1 << logN)]) - 1
+        depth = min(depth, avail)
+        from tiberate_tpu import errors as _errors
+
+        while True:
+            try:
+                eng = CkksEngine(
+                    dict(logN=logN, buffer_bit_length=30, scale_bits=25,
+                         num_special_primes=2, num_scales=depth),
+                    seed=7,
+                )
+                break
+            except _errors.NotEnoughPrimes:
+                # deep chains can collide with the special band; back off
+                depth -= 1
+                if depth < 2:
+                    raise
     else:
         eng = CkksEngine(preset, seed=7)
     return eng

@@ -706,3 +706,29 @@ def test_pallas_mxu_p1_blocking(monkeypatch):
     got30 = np.asarray(pallas_mxu.ntt(x30, fwd30, enter=True,
                                       interpret=True))
     np.testing.assert_array_equal(base30, got30)
+
+
+def test_pallas_mxu_single_lane_gk_fallback():
+    """Large rings force 1-diagonal recombination groups on the single
+    lane (2-diagonal packs overflow u32 at accumulation depth 512,
+    logN17) — exercised here via a skewed logN1 split; bit-exact vs the
+    int64 oracle path."""
+    logN, logN1 = 10, 1              # N1=2, N2=512 -> P_max = 512
+    N = 1 << logN
+    q, start = [], 2**26 - 1
+    for _ in range(2):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q.append(p)
+    qcol = np.array(q, dtype=np.int64)[:, None]
+    rng = np.random.default_rng(29)
+    x = jnp.array(np.stack(
+        [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]
+    ).astype(np.int32))
+
+    fwd_o = mxu_ntt.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
+    fwd_k = pallas_mxu.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
+    assert fwd_k.groups[0].gk == 1
+    a = np.asarray(mxu_ntt.ntt(x, fwd_o, enter=True))
+    b = np.asarray(pallas_mxu.ntt(x, fwd_k, enter=True, interpret=True))
+    np.testing.assert_array_equal(a % qcol, b % qcol)

@@ -123,6 +123,18 @@ class CkksConfig:
                     num_scales += 1
                     available_bits -= math.log2(scale_primes[num_scales])
 
+            if len(scale_primes) < num_scales:
+                # a slice would SILENTLY truncate the chain and blow up
+                # much later as an IndexError in part construction (e.g.
+                # logN17 at scale_bits=25: too few NTT-friendly 25-bit
+                # primes at 2N spacing for the preset's depth)
+                raise IndexError
+            if set(scale_primes[:num_scales]) & set(base_special_primes):
+                # deep 30-bit chains drift toward the message band and
+                # can COLLIDE with a base/special prime (observed:
+                # logN17 scale_bits=25 depth 15 repeats 260571137);
+                # a repeated modulus breaks CRT — the chain is invalid
+                raise IndexError
             self.num_scales = num_scales
             self.q = list(scale_primes[:num_scales]) + list(
                 base_special_primes

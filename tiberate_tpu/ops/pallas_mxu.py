@@ -265,6 +265,13 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             "single-lane kernels need 4q < 2^30 (the 30-bit REDC "
             "precondition)")
     gk = 2 if single else GROUP_K
+    if single and not _single_group_bound_ok(
+        max(limbs_for_bits(qi.bit_length() + 1) for qi in q), gk,
+        max(N1, N2),
+    ):
+        # at large rings the 2-diagonal pack overflows u32 (accumulation
+        # depth P up to 512 at logN17) — fall back to 1 diagonal/group
+        gk = 1
     gbits = LIMB_BITS * gk
 
     br1 = _br_vec(N1, logN1)
