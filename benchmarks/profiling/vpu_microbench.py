@@ -45,12 +45,13 @@ def kern(xlo_ref, xhi_ref, olo_ref, ohi_ref):
 
 
 B = 64
+_z = np.int32(0)  # python 0 traces as i64 index under x64 mode
 f = pl.pallas_call(
     kern,
     grid=(B,),
-    in_specs=[pl.BlockSpec((1, R, Cc), lambda b: (b, 0, 0),
+    in_specs=[pl.BlockSpec((1, R, Cc), lambda b: (b, _z, _z),
                            memory_space=pltpu.VMEM)] * 2,
-    out_specs=[pl.BlockSpec((1, R, Cc), lambda b: (b, 0, 0),
+    out_specs=[pl.BlockSpec((1, R, Cc), lambda b: (b, _z, _z),
                             memory_space=pltpu.VMEM)] * 2,
     out_shape=[jax.ShapeDtypeStruct((B, R, Cc), jnp.uint32)] * 2,
 )

@@ -64,6 +64,24 @@ for D in (2, 4):
              and (np.asarray(c1_ref) == np.asarray(c1_s)).all())
 print("scatter_special bit-exact:", bool(ok_sc))
 
+# --- pallas-kernel sharded switcher (interpret mode on CPU): the fused
+# MXU math path inside shard_map — the same kernels multi-chip TPU mode
+# runs — bit-exact vs the same unsharded reference (VERDICT r3 #2)
+from tiberate_tpu.ops import pallas_mxu
+
+pallas_mxu.INTERPRET = True
+ok_p = True
+for D, scatter in ((2, False), (2, True), (4, False)):
+    mesh_p = Mesh(np.array(jax.devices()[:D]), axis_names=("rns",))
+    sw_p = make_rns_sharded_switcher(eng, 0, mesh_p, axis="rns",
+                                     scatter_special=scatter,
+                                     use_pallas=True)
+    c0_p, c1_p = jax.jit(lambda x: sw_p(x, tuple(evk.data)))(jnp.asarray(a))
+    ok_p = (ok_p and (np.asarray(c0_ref) == np.asarray(c0_p)).all()
+            and (np.asarray(c1_ref) == np.asarray(c1_p)).all())
+pallas_mxu.INTERPRET = False
+print("pallas sharded keyswitch bit-exact:", bool(ok_p))
+
 # --- engine integration (VERDICT r2 #4): make_mult_step on a
 # (batch, rns) engine mesh routes relinearize through this shard_map
 # switcher — bit-exact vs the unsharded step, and the WHOLE compiled

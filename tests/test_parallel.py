@@ -123,6 +123,9 @@ def test_rns_sharded_keyswitch():
     assert "single-gather epilogue: True" in out.stdout
     # special rows round-robined over shards (near-perfect work scaling)
     assert "scatter_special bit-exact: True" in out.stdout
+    # the fused MXU kernels run INSIDE the shard_map switcher (interpret
+    # mode on CPU) — multi-chip mode shares the single-chip math path
+    assert "pallas sharded keyswitch bit-exact: True" in out.stdout
     # engine integration: make_mult_step on a (batch, rns) engine mesh
     # uses the shard_map switcher — bit-exact, one all_gather total
     assert "engine mesh step bit-exact: True" in out.stdout

@@ -44,19 +44,22 @@ def from_pair(lo, hi, dtype=jnp.int64):
 # ----------------------------------------------------------------------
 
 
-def mul31(x, y):
-    """31-bit x 31-bit -> 62-bit as (lo, hi).  x, y < 2^31."""
-    x0 = x & M16
-    x1 = x >> U32(16)  # < 2^15
-    y0 = y & M16
-    y1 = y >> U32(16)
+def sp16(x):
+    """16-bit halves of a u32 (hoist for repeated mul31 operands)."""
+    return x & M16, x >> U32(16)
+
+
+def mul31(x, y, xs=None, ys=None):
+    """31-bit x 31-bit -> 62-bit as (lo, hi).  x, y < 2^31.
+    ``xs``/``ys``: optional pre-split halves from :func:`sp16`.  The low
+    lane is the native u32 multiply; the high lane's carry folds through
+    mm + (ll >> 16), which cannot overflow for 31-bit operands."""
+    x0, x1 = xs if xs is not None else sp16(x)  # x1 < 2^15
+    y0, y1 = ys if ys is not None else sp16(y)
     ll = x0 * y0
     mm = x1 * y0 + x0 * y1  # < 2^32: no overflow for 31-bit inputs
-    hh = x1 * y1
-    lo = ll + (mm << U32(16))
-    carry = (lo < ll).astype(U32)
-    hi = hh + (mm >> U32(16)) + carry
-    return lo, hi
+    hi = x1 * y1 + ((mm + (ll >> U32(16))) >> U32(16))
+    return x * y, hi
 
 
 def add64(alo, ahi, blo, bhi):
@@ -114,15 +117,18 @@ def mont_mult_pair(alo, ahi, blo, bhi, ql, qh, kl, kh):
     """
     al, ah = split31(alo, ahi)  # a < 2^62 -> ah < 2^31
     bl, bh = split31(blo, bhi)
+    als, ahs = sp16(al), sp16(ah)
+    bls, bhs = sp16(bl), sp16(bh)
 
-    glo, ghi = mul31(al, bl)  # gamma < 2^62
-    b1 = mul31(ah, bl)
-    b2 = mul31(al, bh)
+    glo, ghi = mul31(al, bl, als, bls)  # gamma < 2^62
+    b1 = mul31(ah, bl, ahs, bls)
+    b2 = mul31(al, bh, als, bhs)
     btlo, bthi = add64(*b1, *b2)  # beta < 2^63
-    aplo, aphi = mul31(ah, bh)  # alpha < 2^62
+    aplo, aphi = mul31(ah, bh, ahs, bhs)  # alpha < 2^62
 
     gammal, gammah = split31(glo, ghi)  # gammah < 2^31
     betal, betah = split31(btlo, bthi)  # betah < 2^32 (fits u32)
+    gls = sp16(gammal)
 
     # upper = gammal*kh + (gammah + betal)*kl      (mod 2^64)
     t = gammah + betal  # < 2^32
@@ -131,27 +137,28 @@ def mont_mult_pair(alo, ahi, blo, bhi, ql, qh, kl, kh):
     # + tbit * (kl << 31)
     plo, phi = add64(plo, phi, tbit * (kl << U32(31)),
                      tbit * (kl >> U32(1)))
-    ulo, uhi = add64(*mul31(gammal, kh), plo, phi)
+    ulo, uhi = add64(*mul31(gammal, kh, gls), plo, phi)
 
     # s = ((upper << 31) + gammal*kl) & (2^62 - 1)
     slo, shi = shl31(ulo, uhi)
-    slo, shi = add64(slo, shi, *mul31(gammal, kl))
+    slo, shi = add64(slo, shi, *mul31(gammal, kl, gls))
     shi = shi & M30
 
     sl, sh = split31(slo, shi)  # sh < 2^31
+    sls, shs = sp16(sl), sp16(sh)
 
     # sqb = sh*ql + sl*qh
-    sqlo, sqhi = add64(*mul31(sh, ql), *mul31(sl, qh))  # < 2^63
+    sqlo, sqhi = add64(*mul31(sh, ql, shs), *mul31(sl, qh, sls))  # < 2^63
     sqbl, sqbh = split31(sqlo, sqhi)  # sqbh < 2^32
 
     # carry = ((gamma + sl*ql) >> 31 + betal + sqbl) >> 31
-    c1lo, c1hi = add64(glo, ghi, *mul31(sl, ql))
+    c1lo, c1hi = add64(glo, ghi, *mul31(sl, ql, sls))
     c1lo, c1hi = shr31(c1lo, c1hi)
     c2lo, c2hi = add64_u32(c1lo, c1hi, betal)
     c2lo, c2hi = add64_u32(c2lo, c2hi, sqbl)
     c2lo, c2hi = shr31(c2lo, c2hi)
 
-    rlo, rhi = add64(aplo, aphi, *mul31(sh, qh))
+    rlo, rhi = add64(aplo, aphi, *mul31(sh, qh, shs))
     rlo, rhi = add64_u32(rlo, rhi, betah)
     rlo, rhi = add64_u32(rlo, rhi, sqbh)
     rlo, rhi = add64(rlo, rhi, c2lo, c2hi)
@@ -161,22 +168,24 @@ def mont_mult_pair(alo, ahi, blo, bhi, ql, qh, kl, kh):
 def mont_reduce_pair(xlo, xhi, ql, qh, kl, kh):
     """x * R^-1 (REDC exit), x in [0, 2^62)."""
     xl, xh = split31(xlo, xhi)
+    xls = sp16(xl)
     # xkb = xh*kl + xl*kh
-    xklo, xkhi = add64(*mul31(xh, kl), *mul31(xl, kh))
+    xklo, xkhi = add64(*mul31(xh, kl), *mul31(xl, kh, xls))
     slo, shi = shl31(xklo, xkhi)
-    slo, shi = add64(slo, shi, *mul31(xl, kl))
+    slo, shi = add64(slo, shi, *mul31(xl, kl, xls))
     shi = shi & M30
     sl, sh = split31(slo, shi)
+    sls, shs = sp16(sl), sp16(sh)
 
-    sqlo, sqhi = add64(*mul31(sh, ql), *mul31(sl, qh))
+    sqlo, sqhi = add64(*mul31(sh, ql, shs), *mul31(sl, qh, sls))
     sqbl, sqbh = split31(sqlo, sqhi)
 
-    c1lo, c1hi = add64(xlo, xhi, *mul31(sl, ql))
+    c1lo, c1hi = add64(xlo, xhi, *mul31(sl, ql, sls))
     c1lo, c1hi = shr31(c1lo, c1hi)
     c2lo, c2hi = add64_u32(c1lo, c1hi, sqbl)
     c2lo, c2hi = shr31(c2lo, c2hi)
 
-    rlo, rhi = add64_u32(*mul31(sh, qh), sqbh)
+    rlo, rhi = add64_u32(*mul31(sh, qh, shs), sqbh)
     rlo, rhi = add64(rlo, rhi, c2lo, c2hi)
     return rlo, rhi
 

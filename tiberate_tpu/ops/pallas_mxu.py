@@ -117,8 +117,9 @@ class KGroup:
     L: int          # static
     c0: int         # static
     c1: int         # static
-    W1: jax.Array   # [Cg, L, P1, P1] int8 (left twiddle limb planes)
-    W2: jax.Array   # [Cg, P2, L*P2] int8 (right twiddle limbs along cols)
+    W1: jax.Array   # [Cg, P1, L*P1] int8 (left twiddle limb planes along cols)
+    W2: jax.Array   # [Cg, L*P2, P2] int8 (right twiddle limb planes stacked
+                    #  along rows in REVERSED limb order — see _cell_transform)
     TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
     consts: jax.Array  # [Cg, 6] u32: q 31-split, 2q pair, k 31-split
     gk: int = GROUP_K  # static
@@ -243,13 +244,20 @@ def _single_group_bound_ok(L: int, gk: int, P_max: int) -> bool:
 
 
 def build_tables(q, logN: int, *, logN1: int | None = None,
-                 mont_R_bits: int = 62, inverse: bool = False) -> KTables:
+                 mont_R_bits: int = 62, inverse: bool = False,
+                 force_L: int | None = None) -> KTables:
     """Kernel tables; twiddle math identical to ``mxu_ntt.build_tables``.
 
     ``mont_R_bits <= 31`` selects the single-lane layout (30-bit mode):
     fold constants are (w, w') with the 2^31-scaled Shoup companion in
     one u32 each, groups pack 2 diagonals, and the kernel runs all value
     arithmetic in one u32 lane (~3x cheaper folds than the pair path).
+
+    ``force_L`` pins every channel's limb count (must be >= each
+    channel's natural L): limb planes past a value's width are zero, so
+    residues are unchanged — used by the sharded switchers, whose SPMD
+    row blocks must share one static group structure across shards even
+    when the moduli mix widths (``parallel/rns_sharded.py``).
     """
     N = 1 << logN
     if logN1 is None:
@@ -283,6 +291,10 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
     eW2 = (2 * N1 * np.outer(n2v, br2)) % _2N              # [n2, r2]
 
     Ls = [limbs_for_bits(qi.bit_length() + 1) for qi in q]
+    if force_L is not None:
+        assert all(L <= force_L for L in Ls), (
+            f"force_L={force_L} below a channel's natural limb count")
+        Ls = [force_L] * len(q)
     bounds = [0]
     for c in range(1, len(q)):
         if Ls[c] != Ls[c - 1]:
@@ -311,10 +323,13 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             else:
                 left, right = W1, W2
                 eTA = eT
-            W1_t.append(_limb_blocks(left, L))
-            # right limbs concatenated along columns: [P2, L*P2]
+            # left limbs concatenated along columns: [P1, L*P1] — diagonal
+            # d's lhs is then one contiguous column slice
+            W1_t.append(np.concatenate(list(_limb_blocks(left, L)), axis=1))
+            # right limbs stacked along rows in REVERSED limb order:
+            # [L*P2, P2] — diagonal d's rhs is one contiguous row slice
             rl = _limb_blocks(right, L)              # [L, P2a, P2b]
-            W2_t.append(np.concatenate(list(rl), axis=1))
+            W2_t.append(np.concatenate(list(rl)[::-1], axis=0))
             # TA fold planes per group: w = T * 2^(gbits*g) mod q (+ Shoup)
             planes = []
             for g in range(G):
@@ -400,19 +415,24 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
 # ----------------------------------------------------------------------
 
 
-def _mul31(x, y):
-    """31-bit x 31-bit -> (lo, hi) u32 pair."""
-    M16 = np.uint32(0xFFFF)
-    x0 = x & M16
-    x1 = x >> U32(16)
-    y0 = y & M16
-    y1 = y >> U32(16)
+def _sp16(x):
+    """16-bit halves of a u32 (hoisted so repeated _mul31 operands split
+    once)."""
+    return x & np.uint32(0xFFFF), x >> U32(16)
+
+
+def _mul31(x, y, xs=None, ys=None):
+    """31-bit x 31-bit -> (lo, hi) u32 pair.  ``xs``/``ys``: optional
+    pre-split 16-bit halves (from :func:`_sp16`).  The low lane is the
+    native u32 multiply; the high lane folds the carry through
+    mm + (ll >> 16), which cannot overflow for 31-bit operands
+    (mm <= 2*(2^15-1)*(2^16-1), + 2^16 - 1 < 2^32)."""
+    x0, x1 = xs if xs is not None else _sp16(x)
+    y0, y1 = ys if ys is not None else _sp16(y)
     ll = x0 * y0
     mm = x1 * y0 + x0 * y1
-    hh = x1 * y1
-    lo = ll + (mm << U32(16))
-    carry = (lo < ll).astype(U32)
-    return lo, hh + (mm >> U32(16)) + carry
+    hi = x1 * y1 + ((mm + (ll >> U32(16))) >> U32(16))
+    return x * y, hi
 
 
 def _add64(alo, ahi, blo, bhi):
@@ -438,14 +458,20 @@ def _shl31(lo, hi):
     return lo << U32(31), (hi << U32(31)) | (lo >> U32(1))
 
 
-def _low64_31(a0, a1, b0, b1):
-    """low 64 bits of (a0 + a1*2^31) * (b0 + b1*2^31); a_i, b_i < 2^31."""
-    lo, hi = _mul31(a0, b0)
-    mlo, mhi = _add64(*_mul31(a0, b1), *_mul31(a1, b0))
+def _low64_31(a0, a1, b0, b1, as0=None, as1=None, bs0=None, bs1=None):
+    """low 64 bits of (a0 + a1*2^31) * (b0 + b1*2^31); a_i, b_i < 2^31.
+    ``as*``/``bs*``: optional pre-split 16-bit halves of the operands."""
+    as0 = as0 if as0 is not None else _sp16(a0)
+    as1 = as1 if as1 is not None else _sp16(a1)
+    bs0 = bs0 if bs0 is not None else _sp16(b0)
+    bs1 = bs1 if bs1 is not None else _sp16(b1)
+    lo, hi = _mul31(a0, b0, as0, bs0)
+    mlo, mhi = _add64(*_mul31(a0, b1, as0, bs1), *_mul31(a1, b0, as1, bs0))
     mlo, mhi = _shl31(mlo, mhi)
     lo, hi = _add64(lo, hi, mlo, mhi)
-    p = _mul31(a1, b1)[0]
-    return lo, hi + (p << U32(30))          # (a1*b1) << 62 mod 2^64
+    # only bits 62-63 of (a1*b1) << 62 survive mod 2^64: the native u32
+    # low product's bottom 2 bits suffice — no wide multiply needed
+    return lo, hi + ((a1 * b1) << U32(30))
 
 
 def _shoup_mult(xlo, xhi, w0, w1, s0, s1, q0, q1, q2lo, q2hi):
@@ -461,13 +487,15 @@ def _shoup_mult(xlo, xhi, w0, w1, s0, s1, q0, q1, q2lo, q2hi):
     fold mult) at zero accuracy cost on the lazy interface.
     """
     x0, x1 = _split31(xlo, xhi)
+    xs0, xs1 = _sp16(x0), _sp16(x1)
+    ss1 = _sp16(s1)
     # t = x1*s1 + ((x1*s0 + x0*s1) >> 31)     (x0*s0 term dropped)
-    mlo, mhi = _add64(*_mul31(x1, s0), *_mul31(x0, s1))
+    mlo, mhi = _add64(*_mul31(x1, s0, xs1), *_mul31(x0, s1, xs0, ss1))
     mlo, mhi = _shr31(mlo, mhi)
-    tlo, thi = _add64(*_mul31(x1, s1), mlo, mhi)
+    tlo, thi = _add64(*_mul31(x1, s1, xs1, ss1), mlo, mhi)
     t0, t1 = _split31(tlo, thi)
     # r = (w*x - t*q) mod 2^64
-    wxlo, wxhi = _low64_31(x0, x1, w0, w1)
+    wxlo, wxhi = _low64_31(x0, x1, w0, w1, xs0, xs1)
     tqlo, tqhi = _low64_31(t0, t1, q0, q1)
     rlo, rhi = _sub64(wxlo, wxhi, tqlo, tqhi)
     big = (rhi > q2hi) | ((rhi == q2hi) & (rlo >= q2lo))
@@ -491,16 +519,18 @@ M30 = np.uint32(0x3FFFFFFF)
 
 
 def _mulhi32(a, b):
-    """u32 x u32 -> high 32 bits of the 64-bit product."""
+    """u32 x u32 -> high 32 bits of the 64-bit product.  All single-lane
+    callers hold a, b < 2^31 (wp < 2^31, values < 2q < 2^29, m < 2^30),
+    so the middle sum mm + (ll >> 16) cannot overflow (the mul31 carry
+    trick) and the high lane costs 3 fewer ops than the general form."""
     M16 = np.uint32(0xFFFF)
     a0 = a & M16
-    a1 = a >> U32(16)
+    a1 = a >> U32(16)  # < 2^15
     b0 = b & M16
     b1 = b >> U32(16)
-    lm = a0 * b1
-    ml = a1 * b0
-    t = ((a0 * b0) >> U32(16)) + (lm & M16) + (ml & M16)
-    return a1 * b1 + (lm >> U32(16)) + (ml >> U32(16)) + (t >> U32(16))
+    ll = a0 * b0
+    mm = a1 * b0 + a0 * b1
+    return a1 * b1 + ((mm + (ll >> U32(16))) >> U32(16))
 
 
 def _csub32(x, m):
@@ -552,12 +582,12 @@ def _sub2q32(a, b, q2):
 # ----------------------------------------------------------------------
 
 
-def _limbs_cat(lo, hi, L, single=False):
+def _limb_planes(lo, hi, L, single=False):
     """In-kernel limb extraction: (lo, hi) u32 pair [Pa, Pb] (value
-    < 2^62; single-lane: lo only, < 2^31) -> int8 [Pa, L*Pb] plain
-    7-bit limb concatenation — the kernel-side equivalent of the
-    XLA-side ``xcat`` split, so operands enter the kernel as raw
-    residues and the limb pass never touches HBM."""
+    < 2^62; single-lane: lo only, < 2^31) -> list of L int8 [Pa, Pb]
+    plain 7-bit limb planes — the kernel-side equivalent of the
+    XLA-side limb split, so operands enter the kernel as raw residues
+    and the limb pass never touches HBM."""
     parts = []
     for j in range(L):
         sh = LIMB_BITS * j
@@ -568,7 +598,7 @@ def _limbs_cat(lo, hi, L, single=False):
         else:
             limb = ((lo >> U32(sh)) | (hi << U32(32 - sh))) & U32(LIMB_MASK)
         parts.append(limb.astype(jnp.int8))
-    return jnp.concatenate(parts, axis=-1)
+    return parts
 
 
 def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
@@ -626,25 +656,55 @@ def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
     return out
 
 
+def _diag_dots_a(xplanes, w1_ref, s_ref, L, P1):
+    """Step-A diagonal dots: s_ref[d] = sum_{i+j=d} W1_i @ x_j as ONE
+    contiguous dot per diagonal — lhs is a column slice of the
+    [P1, L*P1] concatenated twiddle limbs, rhs a row slice of the
+    limb planes stacked in REVERSED order ([L*P1, P2]).  The cross-limb
+    accumulation rides the MXU contraction (no VPU read-add-stores),
+    each diagonal is written to scratch exactly once, and every dot is
+    issued before the first fold reads its diagonal, so the MXU queue
+    drains under the VPU recombination."""
+    nd = 2 * L - 1
+    xrev = (jnp.concatenate(xplanes[::-1], axis=0)
+            if L > 1 else xplanes[0])         # [L*P1, P2]
+    for d in range(nd):
+        i0 = max(0, d - L + 1)
+        i1 = min(d, L - 1)
+        lhs = w1_ref[:, i0 * P1:(i1 + 1) * P1]
+        rhs = xrev[(L - 1 - d + i0) * P1:(L - 1 - d + i1 + 1) * P1, :]
+        s_ref[d] = jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+
+def _diag_dots_b(uplanes, w2_ref, s_ref, L, P2):
+    """Step-B diagonal dots: s_ref[d] = sum_{i+j=d} U_j @ W2_i — lhs a
+    column slice of the concatenated U limbs [p1b, L*P2], rhs a row
+    slice of the reversed-stacked [L*P2, P2] twiddle table."""
+    nd = 2 * L - 1
+    bcat = (jnp.concatenate(uplanes, axis=1)
+            if L > 1 else uplanes[0])         # [p1b, L*P2]
+    for d in range(nd):
+        j0 = max(0, d - L + 1)
+        j1 = min(d, L - 1)
+        lhs = bcat[:, j0 * P2:(j1 + 1) * P2]
+        rhs = w2_ref[(L - 1 - d + j0) * P2:(L - 1 - d + j1 + 1) * P2, :]
+        s_ref[d] = jax.lax.dot_general(
+            lhs, rhs, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+
 def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
                     L, G, P1, P2, q2, single=False, gk=GROUP_K):
     """One channel-cell 4-step transform: limb extraction, both
     limb-matmul steps and both Shoup recombinations, diagonals in the
     s_ref VMEM scratch.  xpair: (lo, hi) u32 [P1, P2] raw residues
     (single-lane: hi is None) -> (olo, ohi) u32 pair in [0, 2q)."""
-    xcat = _limbs_cat(xpair[0], xpair[1], L, single)
-    # ---- step A: diagonals of (left-twiddle @ x-limbs) ------------
-    for i in range(L):
-        Ti = jax.lax.dot_general(
-            w1_ref[0, i], xcat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                     # [P1, L*P2]
-        for j in range(L):
-            blk = Ti[:, j * P2:(j + 1) * P2]
-            if i == 0 or j == L - 1:
-                s_ref[i + j] = blk
-            else:
-                s_ref[i + j] = s_ref[i + j] + blk
+    xplanes = _limb_planes(xpair[0], xpair[1], L, single)
+    _diag_dots_a(xplanes, w1_ref[0], s_ref, L, P1)
 
     def fold_a(g):
         return (ta_ref[0, g, 0], ta_ref[0, g, 1],
@@ -652,29 +712,8 @@ def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
 
     ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2, single, gk)
 
-    # ---- step B: diagonals of (U-limbs @ right-twiddle) -----------
-    parts = []
-    for j in range(L):
-        sh = LIMB_BITS * j
-        if single or sh + LIMB_BITS <= 32:
-            limb = (ulo >> U32(sh)) & U32(LIMB_MASK)
-        elif sh >= 32:
-            limb = (uhi >> U32(sh - 32)) & U32(LIMB_MASK)
-        else:
-            limb = ((ulo >> U32(sh)) | (uhi << U32(32 - sh))) \
-                & U32(LIMB_MASK)
-        parts.append(limb.astype(jnp.int8))
-    for j in range(L):
-        Tj = jax.lax.dot_general(
-            parts[j], w2_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )                                     # [P1, L*P2]
-        for i in range(L):
-            blk = Tj[:, i * P2:(i + 1) * P2]
-            if j == 0 or i == L - 1:
-                s_ref[i + j] = blk
-            else:
-                s_ref[i + j] = s_ref[i + j] + blk
+    uplanes = _limb_planes(ulo, uhi, L, single)
+    _diag_dots_b(uplanes, w2_ref[0], s_ref, L, P2)
 
     def fold_b(g):
         return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
@@ -986,9 +1025,9 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                          memory_space=pltpu.VMEM)
             for _ in stlanes
         ] + [
-            pl.BlockSpec((1, L, P1, P1), lambda c, b, p: (c, z, z, z),
+            pl.BlockSpec((1, P1, L * P1), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, P1, P2),
                          lambda c, b, p: (c, z, z, z, z),
@@ -1183,9 +1222,9 @@ def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [x_spec] * len(xlanes) + [
-            pl.BlockSpec((1, L, p1b, P1), lambda c, b, p: (c, z, p, z),
+            pl.BlockSpec((1, p1b, L * P1), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
@@ -1396,9 +1435,9 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.VMEM)
             for _ in xlanes
         ] + [
-            pl.BlockSpec((1, L, p1b, P1), lambda c, b, p: (c, z, p, z),
+            pl.BlockSpec((1, p1b, L * P1), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P2, L * P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
