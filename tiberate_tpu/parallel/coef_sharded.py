@@ -48,6 +48,109 @@ def _butterfly_gs(U, V, S, pack):
     return W, Vn
 
 
+def _local_ct_stages(x, i, start_stage, psi, pack, logN, D, axis):
+    C, N_loc = x.shape
+    N = N_loc * D
+    for s in range(start_stage, logN):
+        m = 1 << s
+        t = N >> (s + 1)
+        m_loc = m // D  # groups fully inside this shard
+        xv = x.reshape(C, m_loc, 2, t)
+        U = xv[:, :, 0]
+        V = xv[:, :, 1]
+        # shard i owns global groups [i*m_loc, (i+1)*m_loc)
+        S = lax.dynamic_slice(
+            psi, (jnp.int32(0), (m + i * m_loc).astype(jnp.int32)),
+            (C, m_loc),
+        )[:, :, None]
+        U, V = _butterfly_ct(U, V, S, pack.expand(1))
+        x = jnp.stack([U, V], axis=2).reshape(C, N_loc)
+    return x
+
+
+def _local_gs_stages(x, i, down_to_stage, ipsi, pack, logN, D, axis):
+    C, N_loc = x.shape
+    N = N_loc * D
+    for s in range(logN - 1, down_to_stage - 1, -1):
+        m = 1 << s
+        t = N >> (s + 1)
+        m_loc = m // D
+        xv = x.reshape(C, m_loc, 2, t)
+        U = xv[:, :, 0]
+        V = xv[:, :, 1]
+        S = lax.dynamic_slice(
+            ipsi, (jnp.int32(0), (m + i * m_loc).astype(jnp.int32)),
+            (C, m_loc),
+        )[:, :, None]
+        U, V = _butterfly_gs(U, V, S, pack.expand(1))
+        x = jnp.stack([U, V], axis=2).reshape(C, N_loc)
+    return x
+
+
+def _cross_stage_twiddle(table, s, i, N, N_loc):
+    """Twiddle rows for the cross-shard stage s on shard i.
+
+    At stage s every element of a shard belongs to ONE group pair; the
+    twiddle index is m + (global_U_index >> log2(2t)).  For contiguous
+    shards this is constant per (sub-block of the shard): with
+    m = 2^s <= D/2 groups spanning 2t = N/m elements, shard i covers
+    groups [i*m//D ...]; since m <= D/2, a shard covers m/D < 1 group —
+    exactly one value per shard: m + (i*N_loc) // (2t), broadcast.
+    """
+    m = 1 << s
+    t = N >> (s + 1)
+    gidx = (m + (i * N_loc) // (2 * t)).astype(jnp.int32)
+    C = table.shape[0]
+    return lax.dynamic_slice(table, (jnp.int32(0), gidx), (C, 1))
+
+
+def ntt_block(x_blk, psi, pack, logN: int, D: int, axis: str):
+    """Coefficient-sharded forward NTT body — callable inside ANY
+    shard_map where ``axis`` is a manual mesh axis (the engine's
+    coef-explicit step and the keyswitch switchers embed it directly).
+    x_blk: [C, N/D] local block, Montgomery domain; bit-identical to the
+    unsharded ``ops.ntt.ntt``."""
+    n_cross = D.bit_length() - 1  # log2(D)
+    assert 1 << n_cross == D, "axis size must be a power of two"
+    N = x_blk.shape[-1] * D
+    i = lax.axis_index(axis)
+    # cross-shard CT stages
+    for s in range(n_cross):
+        half = D >> (s + 1)
+        perm = [(j, j ^ half) for j in range(D)]
+        other = lax.ppermute(x_blk, axis, perm)
+        is_U = (i & half) == 0
+        U = jnp.where(is_U, x_blk, other)
+        V = jnp.where(is_U, other, x_blk)
+        S = _cross_stage_twiddle(psi, s, i, N, N // D)
+        Un, Vn = _butterfly_ct(U, V, S, pack)
+        x_blk = jnp.where(is_U, Un, Vn)
+    return _local_ct_stages(x_blk, i, n_cross, psi, pack, logN, D, axis)
+
+
+def intt_block(x_blk, ipsi, Ninv, pack, logN: int, D: int, axis: str):
+    """Coefficient-sharded inverse NTT body (Montgomery-staying, folds
+    N^-1 like ``ops.ntt.intt``); see :func:`ntt_block`."""
+    n_cross = D.bit_length() - 1
+    assert 1 << n_cross == D, "axis size must be a power of two"
+    N = x_blk.shape[-1] * D
+    i = lax.axis_index(axis)
+    x_blk = _local_gs_stages(x_blk, i, n_cross, ipsi, pack, logN, D, axis)
+    # cross-shard GS stages, reverse order
+    for s in range(n_cross - 1, -1, -1):
+        half = D >> (s + 1)
+        perm = [(j, j ^ half) for j in range(D)]
+        other = lax.ppermute(x_blk, axis, perm)
+        is_U = (i & half) == 0
+        U = jnp.where(is_U, x_blk, other)
+        V = jnp.where(is_U, other, x_blk)
+        S = _cross_stage_twiddle(ipsi, s, i, N, N // D)
+        Un, Vn = _butterfly_gs(U, V, S, pack)
+        x_blk = jnp.where(is_U, Un, Vn)
+    # fold in N^-1 (stay Montgomery, like ops.ntt.intt)
+    return mont.mont_mult(x_blk, Ninv, pack)
+
+
 def make_coef_sharded_ntt(lp, logN: int, mesh, axis: str = "coef"):
     """Builds (ntt_fn, intt_fn) over [C, N] arrays with N sharded on `axis`.
 
@@ -56,95 +159,16 @@ def make_coef_sharded_ntt(lp, logN: int, mesh, axis: str = "coef"):
     ``ops.ntt.ntt``/``intt``).
     """
     D = mesh.shape[axis]
-    N = 1 << logN
-    n_cross = D.bit_length() - 1  # log2(D)
-    assert 1 << n_cross == D, "axis size must be a power of two"
-    N_loc = N // D
     pack = lp.pack
     psi = lp.psi
     ipsi = lp.ipsi
     Ninv = lp.Ninv
-    C = lp.num_channels
-
-    def _local_ct_stages(x, i, start_stage):
-        for s in range(start_stage, logN):
-            m = 1 << s
-            t = N >> (s + 1)
-            m_loc = m // D  # groups fully inside this shard
-            xv = x.reshape(C, m_loc, 2, t)
-            U = xv[:, :, 0]
-            V = xv[:, :, 1]
-            # shard i owns global groups [i*m_loc, (i+1)*m_loc)
-            S = lax.dynamic_slice(
-                psi, (jnp.int32(0), (m + i * m_loc).astype(jnp.int32)),
-                (C, m_loc),
-            )[:, :, None]
-            U, V = _butterfly_ct(U, V, S, pack.expand(1))
-            x = jnp.stack([U, V], axis=2).reshape(C, N_loc)
-        return x
-
-    def _local_gs_stages(x, i, down_to_stage):
-        for s in range(logN - 1, down_to_stage - 1, -1):
-            m = 1 << s
-            t = N >> (s + 1)
-            m_loc = m // D
-            xv = x.reshape(C, m_loc, 2, t)
-            U = xv[:, :, 0]
-            V = xv[:, :, 1]
-            S = lax.dynamic_slice(
-                ipsi, (jnp.int32(0), (m + i * m_loc).astype(jnp.int32)),
-                (C, m_loc),
-            )[:, :, None]
-            U, V = _butterfly_gs(U, V, S, pack.expand(1))
-            x = jnp.stack([U, V], axis=2).reshape(C, N_loc)
-        return x
-
-    def _cross_stage_twiddle(table, s, i):
-        """Twiddle rows for the cross-shard stage s on shard i.
-
-        At stage s every element of a shard belongs to ONE group pair; the
-        twiddle index is m + (global_U_index >> log2(2t)).  For contiguous
-        shards this is constant per (sub-block of the shard): with
-        m = 2^s <= D/2 groups spanning 2t = N/m elements, shard i covers
-        groups [i*m//D ...]; since m <= D/2, a shard covers m/D < 1 group —
-        exactly one value per shard: m + (i*N_loc) // (2t), broadcast.
-        """
-        m = 1 << s
-        t = N >> (s + 1)
-        gidx = (m + (i * N_loc) // (2 * t)).astype(jnp.int32)
-        return lax.dynamic_slice(table, (jnp.int32(0), gidx), (C, 1))
 
     def ntt_shard(x_blk):
-        i = lax.axis_index(axis)
-        # cross-shard CT stages
-        for s in range(n_cross):
-            half = D >> (s + 1)
-            perm = [(j, j ^ half) for j in range(D)]
-            other = lax.ppermute(x_blk, axis, perm)
-            is_U = (i & half) == 0
-            U = jnp.where(is_U, x_blk, other)
-            V = jnp.where(is_U, other, x_blk)
-            S = _cross_stage_twiddle(psi, s, i)
-            Un, Vn = _butterfly_ct(U, V, S, pack)
-            x_blk = jnp.where(is_U, Un, Vn)
-        return _local_ct_stages(x_blk, i, n_cross)
+        return ntt_block(x_blk, psi, pack, logN, D, axis)
 
     def intt_shard(x_blk):
-        i = lax.axis_index(axis)
-        x_blk = _local_gs_stages(x_blk, i, n_cross)
-        # cross-shard GS stages, reverse order
-        for s in range(n_cross - 1, -1, -1):
-            half = D >> (s + 1)
-            perm = [(j, j ^ half) for j in range(D)]
-            other = lax.ppermute(x_blk, axis, perm)
-            is_U = (i & half) == 0
-            U = jnp.where(is_U, x_blk, other)
-            V = jnp.where(is_U, other, x_blk)
-            S = _cross_stage_twiddle(ipsi, s, i)
-            Un, Vn = _butterfly_gs(U, V, S, pack)
-            x_blk = jnp.where(is_U, Un, Vn)
-        # fold in N^-1 (stay Montgomery, like ops.ntt.intt)
-        return mont.mont_mult(x_blk, Ninv, pack)
+        return intt_block(x_blk, ipsi, Ninv, pack, logN, D, axis)
 
     spec = P(None, axis)
     ntt_fn = shard_map(ntt_shard, mesh=mesh, in_specs=(spec,),

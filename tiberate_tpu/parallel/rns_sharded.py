@@ -182,7 +182,8 @@ def _cat_pack(a: ModPack, b: ModPack):
 
 def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
                               scatter_special: bool = False,
-                              use_pallas: bool | None = None):
+                              use_pallas: bool | None = None,
+                              coef_axis: str | None = None):
     """Builds ``switcher(a, ksk_parts) -> (c0, c1)`` with 'rns'-sharded
     channels; bit-identical to ``eng.create_switcher`` output.
 
@@ -206,6 +207,15 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
     mode shares the single-chip fast math path, like the reference's
     per-device kernel loop (``csrc/mont.cpp:17-24``).  The radix-2 jnp
     path remains the CPU/virtual-mesh fallback.
+
+    ``coef_axis``: also shard the polynomial coefficient axis (manual
+    over BOTH mesh axes): the radix-2 butterflies' cross-shard pairings
+    run as explicit ``lax.ppermute`` exchanges (``parallel/coef_sharded``)
+    instead of GSPMD halo all-reduces, and the rns state all_gather moves
+    [C/D_r, N/D_c] blocks.  Forces the radix-2 transform path (the fused
+    MXU kernel operates on whole-N rows; its coef-sharded form is the
+    4-step transpose exchange, future work) and the replicated-special
+    epilogue.
     """
     lp_ord = eng._lp(level, False)
     lp_sp = eng._lp(level, True)
@@ -253,12 +263,19 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
         lp_ord[part.lo : part.hi].pack for part in parts
     )
 
+    if coef_axis is not None and mesh.shape[coef_axis] <= 1:
+        coef_axis = None
+    if coef_axis is not None:
+        use_pallas = False          # whole-N-row kernels: see docstring
+        scatter_special = False
     if use_pallas is None:
         from tiberate_tpu.ops import pallas_mxu
 
         use_pallas = bool(getattr(eng, "use_pallas_mxu", False)
                           or pallas_mxu.INTERPRET)
     head = ro - 1
+    Dc = mesh.shape[coef_axis] if coef_axis else 1
+    logN = eng.ckksCfg.logN
 
     if scatter_special:
         return _make_scatter_special(
@@ -316,8 +333,14 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
                 acc = _pallas_keymul_part(ptpl, pml, ext, kcat0, kcat1,
                                           head, acc)
                 continue
-            # 4. local NTT (coefficient axis unsharded -> no exchange)
-            ext = ntt.ntt(ext, psi, pack)
+            # 4. local NTT; with a coef axis the cross-shard butterfly
+            # stages exchange partner blocks by explicit ppermute
+            if coef_axis is not None:
+                from tiberate_tpu.parallel.coef_sharded import ntt_block
+
+                ext = ntt_block(ext, psi, pack, logN, Dc, coef_axis)
+            else:
+                ext = ntt.ntt(ext, psi, pack)
             t0 = mont.mont_mult(ext, kcat0, pack)
             t1 = mont.mont_mult(ext, kcat1, pack)
             if d0 is None:
@@ -332,6 +355,15 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
         if ptpl is not None:
             d0, d1 = _pallas_intt_exit_reduce(
                 ptpl, pml, acc, head, rb, pack, a_blk.dtype)
+        elif coef_axis is not None:
+            from tiberate_tpu.parallel.coef_sharded import intt_block
+
+            d0 = mont.reduce_2q(mont.mont_reduce(
+                intt_block(d0, ipsi, Ninv, pack, logN, Dc, coef_axis),
+                pack), pack)
+            d1 = mont.reduce_2q(mont.mont_reduce(
+                intt_block(d1, ipsi, Ninv, pack, logN, Dc, coef_axis),
+                pack), pack)
         else:
             d0 = ntt.intt_exit_reduce(d0, ipsi, Ninv, pack)
             d1 = ntt.intt_exit_reduce(d1, ipsi, Ninv, pack)
@@ -363,10 +395,12 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
         # own ordinary rows (output block-sharded like the input)
         return c0, c1
 
+    ca = coef_axis  # None -> coefficient dim replicated (single name)
     sharded = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(axis), P(), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        in_specs=(P(axis, ca), P(axis), P(), P(axis, ca), P(None, ca),
+                  P(axis)),
+        out_specs=(P(axis, ca), P(axis, ca)),
     )
 
     def _split_ksk(ksk_parts_full):
@@ -383,8 +417,8 @@ def make_rns_sharded_switcher(eng, level: int, mesh, axis: str = "rns",
         sharded ksk INSIDE the jit would force GSPMD resharding
         collectives at every shard_map boundary."""
         ksk_o, ksk_s = _split_ksk(ksk_parts_full)
-        sh_o = NamedSharding(mesh, P(axis))
-        sh_s = NamedSharding(mesh, P())
+        sh_o = NamedSharding(mesh, P(axis, ca))
+        sh_s = NamedSharding(mesh, P(None, ca))
         return RnsKsk(
             tuple(jax.device_put(k, sh_o) for k in ksk_o),
             tuple(jax.device_put(k, sh_s) for k in ksk_s),
