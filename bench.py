@@ -92,10 +92,12 @@ def _roofline_ct_per_s(eng, work_level, hbm_gbps=819.0,
     }
 
 
-def _ntt_bench(eng, preset, iters, batch):
-    """TIBERATE_BENCH_KIND=ntt: forward-NTT throughput (the BASELINE's
-    dedicated NTT row) against the same compute-aware roofline, one
-    level-0 [C, N] polynomial batch per step."""
+def _ntt_bench(eng, preset, iters, batch, emit=True):
+    """Forward-NTT throughput (the BASELINE's dedicated NTT row) against
+    the same compute-aware roofline, one level-0 [C, N] polynomial batch
+    per step.  Runs in the default suite for logN17 (the ring size whose
+    62-bit step exceeds single-chip HBM) and under
+    TIBERATE_BENCH_KIND=ntt for any pinned preset."""
     import time
 
     import numpy as np
@@ -146,7 +148,7 @@ def _ntt_bench(eng, preset, iters, batch):
     t_roof = max(mxu / 197e12, vpu / 3.85e12,
                  2 * 8 * C * N / 819e9)
     value = 1.0 / dt
-    print(json.dumps({
+    rec = {
         "metric": f"enter_ntt_{preset}_transforms_per_s",
         "value": round(value, 1),
         "unit": "transforms/s",
@@ -157,7 +159,10 @@ def _ntt_bench(eng, preset, iters, batch):
             "batch": batch,
             "roofline_ms": round(t_roof * 1e3, 4),
         },
-    }))
+    }
+    if emit:
+        print(json.dumps(rec), flush=True)
+    return rec
 
 
 def _build_engine(preset):
@@ -280,11 +285,30 @@ def _run_cc_mult(eng, preset, iters, batch):
     }
 
 
+def _rearm_watchdog():
+    import signal
+
+    try:
+        signal.alarm(int(os.environ.get("TIBERATE_BENCH_TIMEOUT", "1200")))
+    except (ValueError, AttributeError):
+        pass
+
+
 def main():
-    """One driver run, TWO rows by default: the 62-bit logN15 preset
-    (primary, printed LAST so the driver's last-line parse picks it up)
-    and the equal-depth 30-bit inference preset (logN15_30).  Setting
-    TIBERATE_BENCH_PRESET pins a single preset (profiling workflows)."""
+    """One driver run, FOUR rows by default (each printed as soon as it
+    is measured; the 62-bit logN15 step is the primary row and prints
+    LAST so the driver's last-line parse picks it up):
+
+    * logN15_30 step — the equal-depth 30-bit inference preset,
+    * logN17 forward NTT — the large-ring transform row (the 62-bit
+      step at logN17 exceeds single-chip HBM; its sharded operating
+      mode is exercised by the multichip dryrun / gated tests),
+    * logN17_30 step — the depth-capped 30-bit large-ring step,
+    * logN15 step (primary).
+
+    TIBERATE_BENCH_PRESET pins a single preset (profiling workflows);
+    the SIGALRM watchdog re-arms per row so one wedged preset cannot
+    starve the rest."""
     iters = int(os.environ.get("TIBERATE_BENCH_ITERS", "10"))
     batch = int(os.environ.get("TIBERATE_BENCH_BATCH", "8"))
 
@@ -297,27 +321,45 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     pinned = os.environ.get("TIBERATE_BENCH_PRESET")
-    presets = [pinned] if pinned else ["logN15_30", "logN15"]
+    if pinned:
+        presets = [(pinned, os.environ.get("TIBERATE_BENCH_KIND", "step"))]
+    else:
+        presets = [("logN15_30", "step"), ("logN17", "ntt"),
+                   ("logN17_30", "step"), ("logN15", "step")]
 
-    rows = []
-    for preset in presets:
-        eng = _build_engine(preset)
-        if os.environ.get("TIBERATE_BENCH_KIND") == "ntt":
-            _ntt_bench(eng, preset, iters, batch)
+    secondary = []
+    for preset, kind in presets:
+        _rearm_watchdog()
+        primary = preset == "logN15" and not pinned
+        try:
+            eng = _build_engine(preset)
+            if kind == "ntt":
+                _ntt_bench(eng, preset, iters, batch)
+                del eng
+                continue
+            rec = _run_cc_mult(eng, preset, iters, batch)
+            del eng
+        except Exception:  # noqa: BLE001 — keep the remaining rows alive
+            if primary:
+                raise
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
             continue
-        rec = _run_cc_mult(eng, preset, iters, batch)
-        rows.append(rec)
-        del eng
-    if len(rows) == 2:
-        # primary row also carries the secondary's headline numbers, so a
-        # last-line-only parse still captures both operating points
-        rows[1]["extra"]["secondary_row"] = {
-            "metric": rows[0]["metric"],
-            "value": rows[0]["value"],
-            "vs_baseline": rows[0]["vs_baseline"],
-        }
-    for rec in rows:
-        print(json.dumps(rec))
+        if primary:
+            # primary row also carries the secondaries' headline numbers,
+            # so a last-line-only parse still captures every operating
+            # point measured in this run
+            if secondary:
+                rec["extra"]["secondary_rows"] = secondary
+            print(json.dumps(rec), flush=True)
+        else:
+            secondary.append({
+                "metric": rec["metric"],
+                "value": rec["value"],
+                "vs_baseline": rec["vs_baseline"],
+            })
+            print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":

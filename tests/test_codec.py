@@ -119,3 +119,26 @@ def test_engine_encodecrypt_batch_matches_sequential():
     # and they decrypt
     out = e_bat.decryptcode(cts_bat[0], is_real=True)
     assert np.abs(out - ms[0]).max() < 1e-4
+
+
+def test_engine_decryptcode_batch_matches_sequential():
+    from tiberate_tpu.config.toy import toy_config
+    from tiberate_tpu.engine import CkksEngine
+
+    cfg = toy_config(logN=7, num_scales=3, num_special_primes=1,
+                     scale_bits=30)
+    eng = CkksEngine(cfg, seed=9, nonce=5)
+    mrng = np.random.default_rng(3)
+    ms = [mrng.uniform(-1, 1, eng.num_slots) for _ in range(3)]
+    cts = eng.encodecrypt_batch(ms)
+    seq = np.stack([eng.decryptcode(ct, is_real=True) for ct in cts])
+    bat = eng.decryptcode_batch(cts, is_real=True)
+    # same decrypt cores; decode float summation order may differ by ULPs
+    np.testing.assert_allclose(seq, bat, atol=1e-9)
+    assert np.abs(bat - np.stack(ms)).max() < 1e-4
+    # bias_guard branch: a message with a large DC component
+    ms2 = [mrng.uniform(-1, 1, eng.num_slots) + 3.0 for _ in range(2)]
+    cts2 = eng.encodecrypt_batch(ms2)
+    bat2 = eng.decryptcode_batch(cts2, is_real=True)
+    seq2 = np.stack([eng.decryptcode(ct, is_real=True) for ct in cts2])
+    np.testing.assert_allclose(seq2, bat2, atol=1e-9)

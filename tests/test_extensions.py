@@ -12,6 +12,8 @@ from tiberate_tpu.extension.mpc import CkksEngineMPCExtension
 from tiberate_tpu.extension.nn import HELinearFeatureWise
 from tiberate_tpu.extension.packing import FeatureWiseCTEncoding
 
+pytestmark = pytest.mark.slow  # fast suite: pytest -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOL = 5e-4
 

@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from tiberate_tpu.ops import mxu_ntt, pallas_mxu
 from tiberate_tpu.utils.primes import find_the_next_prime
 
+pytestmark = pytest.mark.slow  # fast suite: pytest -m 'not slow'
+
 
 @pytest.fixture(autouse=True)
 def _fresh_compile_state():

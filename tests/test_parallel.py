@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # fast suite: pytest -m 'not slow'
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -38,6 +40,31 @@ def test_dryrun_multichip(ndev):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert f"dryrun_multichip({ndev})" in out.stdout
+
+
+def test_dryrun_two_host_layout():
+    """The 2-host scaling layout SCALING.md's >=80% row is modeled on —
+    batch=8 x rns=2 — compiles AND executes on 16 virtual devices with
+    the explicit-collective structure (one all_gather, zero all-reduce;
+    VERDICT r3 #7)."""
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        NDEV="16",
+        GRAFT_DRYRUN_MESH="8,2,1",
+        PYTHONPATH=REPO,
+        XLA_FLAGS="--xla_force_host_platform_device_count=16",
+    )
+    code = "import __graft_entry__ as g; g.dryrun_multichip(16)"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=3000,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "mesh=(batch=8, rns=2, coef=1)" in out.stdout
+    assert "rns_switch=on" in out.stdout
+    assert "all_gather=1 all_reduce=0" in out.stdout
 
 
 def test_entry_compiles():
@@ -171,6 +198,37 @@ def test_coef_sharded_ntt():
     assert "NTT bit-exact: True" in out.stdout
     assert "roundtrip bit-exact: True" in out.stdout
     assert "collective-permute in HLO: True" in out.stdout
+
+
+@pytest.mark.skipif(
+    not os.environ.get("TIBERATE_FULL_TESTS"),
+    reason="logN17 sharded execution is slow; set TIBERATE_FULL_TESTS=1",
+)
+def test_dryrun_multichip_logN17():
+    """The logN17 preset's documented operating mode EXECUTES: the full
+    cc_mult step (rescale -> tensor -> relinearize/keyswitch) runs
+    decrypt-checked on an 8-device virtual (batch, rns, coef) mesh with
+    the explicit-collective structure asserted (PERFORMANCE.md
+    'multi-chip is the intended operating mode at logN17';
+    VERDICT r3 #4)."""
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        NDEV="8",
+        GRAFT_DRYRUN_PRESET="logN17",
+        PYTHONPATH=REPO,
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=5400,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "preset=logN17" in out.stdout
+    assert "rns_switch=on" in out.stdout
+    assert "all_reduce=0" in out.stdout
 
 
 @pytest.mark.skipif(

@@ -881,12 +881,15 @@ class CkksEngine:
 
     def _ksk_parts_fused(self, ksk: KeySwitchKey, level: int):
         """(keys_stacked, L_stack, alpha_max) for the all-parts-fused
-        keyswitch kernel (``pallas_mxu.ntt_keymul_parts``); opt-in via
-        TIBERATE_PARTS_KERNEL=1 (A/B against the per-part chain).
-        Cached on the ksk."""
+        keyswitch kernel (``pallas_mxu.ntt_keymul_parts``).  Default ON
+        at logN <= 16 since the diagonal-direct dot restructure: the
+        single (channel, batch, part) grid now beats the per-part chain
+        on chip (4.489 vs 4.687 ms/ct at logN15, ab_parts.py r4; was
+        dead-even in r2/r3).  TIBERATE_PARTS_KERNEL=0 forces the
+        per-part chain for A/B.  Cached on the ksk."""
         import os
 
-        if os.environ.get("TIBERATE_PARTS_KERNEL") != "1":
+        if os.environ.get("TIBERATE_PARTS_KERNEL", "1") != "1":
             return None
         lp_sp = self._lp(level, True)
         if lp_sp.pmxu_fwd is None:
@@ -1636,6 +1639,95 @@ class CkksEngine:
             decoded = decoded + dc / self.ckksCfg.scale * correction
         return decoded.real if is_real else decoded
 
+    def decryptcode_batch(self, cts, sk: SecretKey = None, *,
+                          is_real=False, final_round=True):
+        """Decrypt + decode a batch of (double) ciphertexts with ONE
+        compiled vmapped decrypt core and ONE vectorized host decode
+        (``codec.decode_batch``) — the decode-side counterpart of
+        :meth:`encodecrypt_batch` (reference decodes per message on
+        GPU, ``encoding.py:341-362``; a host-FFT-per-message loop
+        serializes the batched-inference pipeline).  All ciphertexts
+        must share a level; per-message results match
+        :meth:`decryptcode` up to decode-float summation order."""
+        sk = sk or self.sk
+        if not sk.has_flag(FLAGS.NTT_STATE):
+            raise errors.NTTStateError(expected=True)
+        if not sk.has_flag(FLAGS.MONTGOMERY_STATE):
+            raise errors.MontgomeryStateError(expected=True)
+        level = cts[0].level
+        if any(ct.level != level for ct in cts):
+            raise errors.NotMatchType(
+                origin="mixed ciphertext levels", to="decryptcode_batch"
+            )
+        for ct in cts:
+            if ct.has_flag(FLAGS.NTT_STATE):
+                raise errors.NTTStateError(expected=False)
+        lp = self._lp(level, False)
+        C = lp.num_channels
+        sk_rows = self._sk_rows(sk, level, C)
+        base_at = C - 1
+        use_bias_guard = (C >= 3) and self.bias_guard
+        ct0 = jnp.stack([ct.data[0][:C] for ct in cts])
+        ct1 = jnp.stack([ct.data[1][:C] for ct in cts])
+        B = ct0.shape[0]
+
+        if use_bias_guard:
+            # batched 3-prime CRT DC reconstruction (reference
+            # ``ckks_engine.py:1969-1999``): the per-message host part
+            # is three integers each
+            _, pts = _decrypt_double_batch_core(
+                ct0, ct1, sk_rows, lp, self.params.base_lp(),
+                self.params.final_scalar[level], self._rounding_half,
+                base_at=base_at, final_round=False,
+            )
+            pts_h = np.asarray(pts)
+            q = self.params.q
+            q0 = q[level + base_at]
+            q1 = q[level]
+            q2 = q[level + 1]
+            Q = q0 * q1 * q2
+            m0 = pow(q1 * q2, -1, q0) * q1 * q2
+            m1 = pow(q0 * q2, -1, q1) * q0 * q2
+            m2 = pow(q0 * q1, -1, q2) * q0 * q1
+            dcs = []
+            for b in range(B):
+                dc = (
+                    int(pts_h[b, base_at, 0]) * m0
+                    + int(pts_h[b, 0, 0]) * m1
+                    + int(pts_h[b, 1, 0]) * m2
+                ) % Q
+                dc = dc if dc <= Q // 2 else dc - Q
+                dcs.append((dc + (q1 - 1)) // q1)
+            pt_z = (
+                jnp.asarray(pts).at[:, base_at, 0].set(0).at[:, 0, 0]
+                .set(0)
+            )
+            scaled = _final_scale_batch(
+                pt_z, self.params.base_lp(),
+                self.params.final_scalar[level], self._rounding_half,
+                base_at, final_round,
+            )
+        else:
+            dcs = [0] * B
+            scaled, _ = _decrypt_double_batch_core(
+                ct0, ct1, sk_rows, lp, self.params.base_lp(),
+                self.params.final_scalar[level], self._rounding_half,
+                base_at=base_at, final_round=final_round,
+            )
+
+        correction = self.corrections[level]
+        decoded = codec.decode_batch(
+            np.asarray(scaled).reshape(B, -1),
+            scale=self.ckksCfg.scale, correction=correction,
+            norm=self.norm,
+        )[:, : self.num_slots]
+        if use_bias_guard:
+            decoded = decoded + (
+                np.asarray(dcs, dtype=np.float64)[:, None]
+                / self.ckksCfg.scale * correction
+            )
+        return decoded.real if is_real else decoded
+
     # ------------------------------------------------------------------
     # Key switching / multiplication.
     # ------------------------------------------------------------------
@@ -2274,3 +2366,26 @@ def _final_scale_host(pt, base_lp, final_scalar, rounding_half, base_at,
                       final_round):
     return _final_scale(pt, base_lp, final_scalar, rounding_half, base_at,
                         final_round)
+
+
+@functools.partial(jax.jit, static_argnames=("base_at", "final_round"))
+def _decrypt_double_batch_core(ct0, ct1, sk, lp, base_lp, final_scalar,
+                               rounding_half, base_at, final_round):
+    """vmapped :func:`_decrypt_double_core` over stacked [B, C, N]
+    ciphertext pairs — one compiled program per level for the whole
+    batch (``decryptcode_batch``)."""
+    return jax.vmap(
+        lambda a, b: _decrypt_double_core(
+            a, b, sk, lp, base_lp, final_scalar, rounding_half,
+            base_at=base_at, final_round=final_round,
+        )
+    )(ct0, ct1)
+
+
+@functools.partial(jax.jit, static_argnames=("base_at", "final_round"))
+def _final_scale_batch(pt, base_lp, final_scalar, rounding_half, base_at,
+                       final_round):
+    return jax.vmap(
+        lambda p: _final_scale(p, base_lp, final_scalar, rounding_half,
+                               base_at, final_round)
+    )(pt)

