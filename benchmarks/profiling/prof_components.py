@@ -117,3 +117,43 @@ prm = mult_step_params(eng, level=0, pre_rescale=True)
 batched = jax.jit(jax.vmap(step, in_axes=(0, 0, 0, 0, None, None)))
 args = tuple(jnp.stack([ct.data[i]] * B) for i in (0, 1, 0, 1))
 timed("FULL cc_mult step", batched, *args, evk_parts, prm)
+
+# parts-fused switcher (the default path) + its pieces
+pf = eng._ksk_parts_fused(eng.evk, lvl)
+if pf is not None:
+    f_swf = jax.jit(jax.vmap(lambda a: E._switcher_body(
+        a, evk_parts, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S,
+        False, parts_fused=pf)))
+    timed("parts-fused switcher (kernel+Pdiv)", f_swf, a_coef)
+
+    keys_st, ec = pf
+    amax = max(pt.alpha for pt in parts)
+
+    def digits_only(a):
+        sts = []
+        for part in parts:
+            st = E._pre_extend(a[part.lo:part.hi], part,
+                               lp_ord[part.lo:part.hi])
+            if part.alpha < amax:
+                st = jnp.concatenate(
+                    [st, jnp.zeros((amax - part.alpha, N), st.dtype)], axis=0)
+            sts.append(st)
+        return jnp.stack(sts)
+    timed("  pre_extend digits (9 parts)", jax.jit(jax.vmap(digits_only)),
+          a_coef)
+
+    def kernel_only(a):
+        st_all = digits_only.__wrapped__(a) if hasattr(digits_only, '__wrapped__') else digits_only(a)
+        return pallas_mxu.ntt_keymul_parts(st_all, ec, lp_sp.pmxu_fwd, keys_st)
+    timed("  digits + ntt_keymul_parts", jax.jit(jax.vmap(kernel_only)),
+          a_coef)
+
+    def pdiv_only(pair0):
+        return E._pdiv_fused(pair0, lp_sp, lp_ord, PiRs, eng.params.S)
+    # build a real acc pair shape [C_sp, P1, P2] x2 lanes
+    P1, P2 = lp_sp.pmxu_fwd.P1, lp_sp.pmxu_fwd.P2
+    accp = tuple(jnp.stack([jnp.asarray(
+        rng.integers(0, 2**31, (C_sp, P1, P2), dtype=np.int64),
+        dtype=jnp.uint32)] * B) for _ in range(2))
+    timed("  pdiv_fused (1 of 2)", jax.jit(lambda p: jax.vmap(
+        lambda q0_, q1_: pdiv_only((q0_, q1_)))(p[0], p[1])), accp)

@@ -595,6 +595,79 @@ def test_pallas_mxu_batch_unroll(monkeypatch, ub):
     np.testing.assert_array_equal(base, got)
 
 
+def test_pallas_mxu_pdiv_unroll(monkeypatch):
+    """TIBERATE_TRANSFORM_UNROLL=2 on the fused P-division path: the
+    pdiv chain now runs inside the software-pipelined batch loop —
+    bit-exact vs ub=1 on both lane widths."""
+    monkeypatch.setenv("TIBERATE_TRANSFORM_UNROLL", "2")
+
+    def _with_unroll(fn):
+        pallas_mxu._transform_unroll.cache_clear()
+        try:
+            return fn()
+        finally:
+            pallas_mxu._transform_unroll.cache_clear()
+
+    logN = 6
+    N = 1 << logN
+    S = 2
+    B = 4
+    rng = np.random.default_rng(23)
+
+    def pdc_for(q):
+        C = len(q)
+        cols = np.array(
+            [[int(rng.integers(1, qi)) for _ in range(1 + S)]
+             for qi in q], dtype=np.uint64)
+        return jnp.array(np.stack(
+            [(cols & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+             (cols >> np.uint64(32)).astype(np.uint32)],
+            axis=-1).reshape(C, -1))
+
+    # 62-bit pair lane
+    q = _primes(logN, [40, 60, 60])
+    inv = pallas_mxu.build_tables(q, logN, inverse=True)
+    x = jnp.array(np.stack([
+        np.stack([rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q])
+        for _ in range(B)
+    ]))
+    rows = [jnp.array(np.stack([
+        rng.integers(0, q[0], N, dtype=np.int64) for _ in range(B)
+    ])) for _ in range(S)]
+    p0 = tuple(pallas_mxu.coef_row_pairs(r, inv) for r in rows)
+    pdc = pdc_for(q)
+    base = np.asarray(pallas_mxu.intt_pdiv(x, inv, p0, pdc,
+                                           interpret=True))
+    got = np.asarray(_with_unroll(
+        lambda: pallas_mxu.intt_pdiv(x, inv, p0, pdc, interpret=True)))
+    np.testing.assert_array_equal(base, got)
+
+    # 30-bit single lane
+    q30, start = [], 2**27 - 1
+    for _ in range(3):
+        p = find_the_next_prime(start, 2 * N, up=False)
+        start = p - 2
+        q30.append(p)
+    inv30 = pallas_mxu.build_tables(q30, logN, mont_R_bits=30,
+                                    inverse=True)
+    x30 = jnp.array(np.stack([
+        np.stack([rng.integers(0, 2 * qi, N, dtype=np.int64)
+                  for qi in q30])
+        for _ in range(B)
+    ]).astype(np.int32))
+    rows30 = [jnp.array(np.stack([
+        rng.integers(0, q30[0], N, dtype=np.int64) for _ in range(B)
+    ]).astype(np.int32)) for _ in range(S)]
+    p030 = tuple(pallas_mxu.coef_row_pairs(r, inv30) for r in rows30)
+    pdc30 = pdc_for(q30)
+    base30 = np.asarray(pallas_mxu.intt_pdiv(x30, inv30, p030, pdc30,
+                                             interpret=True))
+    got30 = np.asarray(_with_unroll(
+        lambda: pallas_mxu.intt_pdiv(x30, inv30, p030, pdc30,
+                                     interpret=True)))
+    np.testing.assert_array_equal(base30, got30)
+
+
 def test_pallas_mxu_under_shard_map():
     """The kernel x sharding composition a real multi-chip TPU run hits
     first (VERDICT r2 #5): pallas_mxu running INSIDE shard_map, (a)

@@ -941,6 +941,19 @@ class CkksEngine:
                      (vals >> jnp.uint64(32)).astype(jnp.uint32)],
                     axis=-1,
                 ).reshape(n_parts, C_sp, -1)
+            # pre-pad the part axis to the kernel's pipelined multiple
+            # once here (the digits pad per step; keys/ec are static)
+            from tiberate_tpu.ops import pallas_mxu
+
+            pad_to = pallas_mxu.parts_pad_to(lp_sp.pmxu_fwd, amax)
+            if n_parts % pad_to:
+                pz = pad_to - n_parts % pad_to
+                keys_st = tuple(
+                    tuple(jnp.pad(pln, ((0, pz), (0, 0), (0, 0), (0, 0)))
+                          for pln in pair)
+                    for pair in keys_st
+                )
+                ec = jnp.pad(ec, ((0, pz), (0, 0), (0, 0)))
             cache[level] = (keys_st, ec)
         return cache[level]
 

@@ -739,8 +739,12 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         elif pdiv:
             pdc_ref = rest[0]                  # SMEM [Cg, 2 + 2*pdiv]
             prefs = rest[1 : 1 + w * pdiv]     # (plo[, phi]) per division
-            out_refs = rest[-1 - w : -1]
-            s_ref = rest[-1]
+            if ub > 1:
+                out_refs = rest[-2 - w : -2]
+                s_ref = rest[-2]
+            else:
+                out_refs = rest[-1 - w : -1]
+                s_ref = rest[-1]
         else:
             out_refs = rest[:-2] if ub > 1 else rest[:-1]
             s_ref = rest[-2] if ub > 1 else rest[-1]
@@ -751,15 +755,54 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         q2hi = cons_ref[c, 3]
         q2 = (q0, q1, q2lo, q2hi)
 
+        def pdiv_epilogue(olo, ohi, u):
+            # Fused keyswitch P-division epilogue (reference successive
+            # rescale by the special primes, ``ckks_engine.py:1068-1124``)
+            # on the iNTT output while it is still in VMEM.  The "mont"
+            # transform variant already keeps the Montgomery factor (the
+            # reference's exit-then-enter round trip is elided); the P0
+            # rows arrive plain and get entered per channel:
+            #   for i: x = REDC((x - REDC(p0_i * Rs)) * PiRi)
+            #   x = reduce_2q(REDC(x))       -> canonical [0, q).
+            kl = cons_ref[c, 4]
+            kh = cons_ref[c, 5]
+            if single:
+                x = olo
+                rs = pdc_ref[c, 0]
+                for i in range(pdiv):
+                    pe = _redc30(prefs[i][u], rs, kl, q0)
+                    x = _sub2q32(x, pe, q2lo)
+                    x = _redc30(x, pdc_ref[c, 2 + 2 * i], kl, q0)
+                x = _redc_reduce30(x, kl, q0)
+                return _csub32(x, q0), ohi
+            rs0 = pdc_ref[c, 0]
+            rs1 = pdc_ref[c, 1]
+            xlo, xhi = olo, ohi
+            for i in range(pdiv):
+                plo, phi = pallas_mont.mont_mult_pair(
+                    prefs[2 * i][u], prefs[2 * i + 1][u],
+                    rs0, rs1, q0, q1, kl, kh)
+                xlo, xhi = pallas_mont.mont_sub_pair(
+                    xlo, xhi, plo, phi, q2lo, q2hi)
+                xlo, xhi = pallas_mont.mont_mult_pair(
+                    xlo, xhi, pdc_ref[c, 2 + 2 * i], pdc_ref[c, 3 + 2 * i],
+                    q0, q1, kl, kh)
+            xlo, xhi = pallas_mont.mont_reduce_pair(
+                xlo, xhi, q0, q1, kl, kh)
+            qlo = q0 | (q1 << U32(31))
+            qhi = q1 >> U32(1)
+            return pallas_mont.reduce_2q_pair(xlo, xhi, qlo, qhi)
+
         if ub > 1:
-            # Software-pipelined transform-only cell over ``ub`` batch
-            # items: within each phase, item u+1's diagonal dots are
-            # ISSUED before item u's folds read their own diagonals, so
-            # the (asynchronous) MXU drains under the VPU recombination
+            # Software-pipelined cell over ``ub`` batch items: within
+            # each phase, item u+1's diagonal dots are ISSUED before
+            # item u's folds read their own diagonals, so the
+            # (asynchronous) MXU drains under the VPU recombination
             # — the r3 sequential-chain unroll gave Mosaic no overlap to
             # find (PERFORMANCE.md "round-3 experiments"); this one
-            # encodes the overlap in program order.  Transform-only path
-            # (no keys/pdiv).
+            # encodes the overlap in program order.  Transform-only and
+            # pdiv paths (the pdiv chain is per-item VPU work that also
+            # hides the tail dots).
             u_scr = rest[-1]     # (ub, w, P1, P2) u32 inter-phase values
 
             def fold_a(g):
@@ -799,6 +842,8 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                     dots_b(u + 1)
                 olo, ohi = _recombine_diag(s_ref.at[u], L, G, fold_b,
                                            q2, single, gk)
+                if pdiv:
+                    olo, ohi = pdiv_epilogue(olo, ohi, u)
                 out_refs[0][u, 0] = olo
                 if not single:
                     out_refs[1][u, 0] = ohi
@@ -838,46 +883,10 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                 trefs[2 * i][0, 0] = tlo
                 trefs[2 * i + 1][0, 0] = thi
         elif pdiv:
-            # Fused keyswitch P-division epilogue (reference successive
-            # rescale by the special primes, ``ckks_engine.py:1068-1124``)
-            # on the iNTT output while it is still in VMEM.  The "mont"
-            # transform variant already keeps the Montgomery factor (the
-            # reference's exit-then-enter round trip is elided); the P0
-            # rows arrive plain and get entered per channel:
-            #   for i: x = REDC((x - REDC(p0_i * Rs)) * PiRi)
-            #   x = reduce_2q(REDC(x))       -> canonical [0, q).
-            kl = cons_ref[c, 4]
-            kh = cons_ref[c, 5]
-            if single:
-                x = olo
-                rs = pdc_ref[c, 0]
-                for i in range(pdiv):
-                    pe = _redc30(prefs[i][0], rs, kl, q0)
-                    x = _sub2q32(x, pe, q2lo)
-                    x = _redc30(x, pdc_ref[c, 2 + 2 * i], kl, q0)
-                x = _redc_reduce30(x, kl, q0)
-                x = _csub32(x, q0)
-                out_refs[0][0, 0] = x
-                return
-            rs0 = pdc_ref[c, 0]
-            rs1 = pdc_ref[c, 1]
-            xlo, xhi = olo, ohi
-            for i in range(pdiv):
-                plo, phi = pallas_mont.mont_mult_pair(
-                    prefs[2 * i][0], prefs[2 * i + 1][0],
-                    rs0, rs1, q0, q1, kl, kh)
-                xlo, xhi = pallas_mont.mont_sub_pair(
-                    xlo, xhi, plo, phi, q2lo, q2hi)
-                xlo, xhi = pallas_mont.mont_mult_pair(
-                    xlo, xhi, pdc_ref[c, 2 + 2 * i], pdc_ref[c, 3 + 2 * i],
-                    q0, q1, kl, kh)
-            xlo, xhi = pallas_mont.mont_reduce_pair(
-                xlo, xhi, q0, q1, kl, kh)
-            qlo = q0 | (q1 << U32(31))
-            qhi = q1 >> U32(1)
-            xlo, xhi = pallas_mont.reduce_2q_pair(xlo, xhi, qlo, qhi)
+            xlo, xhi = pdiv_epilogue(olo, ohi, 0)
             out_refs[0][0, 0] = xlo
-            out_refs[1][0, 0] = xhi
+            if not single:
+                out_refs[1][0, 0] = xhi
         else:
             out_refs[0][0, 0] = olo
             if not single:
@@ -923,25 +932,37 @@ def _signed_const_mult30(y, c, kl, q0, q2lo):
 
 
 def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
-                       gk=GROUP_K):
-    """All keyswitch parts in one kernel: grid (Cg, B, n_parts) with the
-    part axis fastest; per (channel, batch) cell the basis extension
+                       gk=GROUP_K, up=1, pad_tail=False):
+    """All keyswitch parts in one kernel: grid (Cg, B, n_parts/up) with
+    the part axis fastest; per (channel, batch) cell the basis extension
     (reference ``ckks_engine.py:906-951``: ext = st0*Rs + sum_i
     st_i*L_enter_i, all Montgomery constant multiplies), the limb split,
     the NTT, the evk multiplies AND the running d_i part-sum all run
     in-VMEM — the digits [amax, N] are the only per-part HBM input and
     the accumulator is written to HBM exactly once (reference part loop
-    + accumulation, ``ckks_engine.py:1048-1058``)."""
+    + accumulation, ``ckks_engine.py:1048-1058``).
+
+    ``up`` > 1 processes that many parts per cell, software-pipelined:
+    part j+1's extension (VPU) and diagonal dots (MXU) are issued before
+    part j's folds read their own diagonals, so the MXU drains under the
+    VPU recombination + key multiplies (the ub=2 trick of the transform
+    kernel applied to the part axis; n_parts must be a multiple of up —
+    callers zero-pad).  ``pad_tail`` marks the last slot of the last
+    block as padding: its compute is SKIPPED at runtime (pl.when), so an
+    odd real part count costs no extra transform — the pad exists only
+    so the block fetches stay in bounds."""
     nd = 2 * L - 1
     w = 1 if single else 2
+    n_blk = n_parts // up
+    assert n_blk * up == n_parts
 
     def kernel(cons_ref, fold_ref, ec_ref, *refs):
-        strefs = refs[:w]                    # [1, 1, amax, P1, P2]
+        strefs = refs[:w]                    # [1, up, amax, P1, P2]
         w1_ref, w2_ref, ta_ref = refs[w : w + 3]
         rest = refs[w + 3 :]
-        krefs = rest[: w * nkeys]            # [1, 1, P1, P2] at (p, c)
+        krefs = rest[: w * nkeys]            # [up, 1, P1, P2] at (p, c)
         trefs = rest[w * nkeys : 2 * w * nkeys]   # outs at (b, c)
-        s_ref, acc_ref = rest[-2:]
+        s_ref, u_scr, acc_ref = rest[-3:]
         c = pl.program_id(0)
         p = pl.program_id(2)
         q0 = cons_ref[c, 0]
@@ -952,65 +973,124 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
         kh = cons_ref[c, 5]
         q2 = (q0, q1, q2lo, q2hi)
 
-        # ---- fused basis extension --------------------------------
-        if single:
-            ext = _signed_const_mult30(
-                strefs[0][0, 0, 0], ec_ref[0, c, 0], kl, q0, q2lo)
-            for i in range(1, amax):
-                y = _signed_const_mult30(
-                    strefs[0][0, 0, i], ec_ref[0, c, i], kl, q0, q2lo)
-                ext = _csub32(ext + y, q2lo)
-            xpair = (ext, None)
-        else:
+        # ---- fused basis extension (part j of this cell) ----------
+        def ext(j):
+            if single:
+                e = _signed_const_mult30(
+                    strefs[0][0, j, 0], ec_ref[j, c, 0], kl, q0, q2lo)
+                for i in range(1, amax):
+                    y = _signed_const_mult30(
+                        strefs[0][0, j, i], ec_ref[j, c, i], kl, q0,
+                        q2lo)
+                    e = _csub32(e + y, q2lo)
+                return (e, None)
             elo, ehi = _signed_const_mult(
-                strefs[0][0, 0, 0], strefs[1][0, 0, 0],
-                ec_ref[0, c, 0], ec_ref[0, c, 1],
+                strefs[0][0, j, 0], strefs[1][0, j, 0],
+                ec_ref[j, c, 0], ec_ref[j, c, 1],
                 q0, q1, kl, kh, q2lo, q2hi)
             for i in range(1, amax):
                 ylo, yhi = _signed_const_mult(
-                    strefs[0][0, 0, i], strefs[1][0, 0, i],
-                    ec_ref[0, c, 2 * i], ec_ref[0, c, 2 * i + 1],
+                    strefs[0][0, j, i], strefs[1][0, j, i],
+                    ec_ref[j, c, 2 * i], ec_ref[j, c, 2 * i + 1],
                     q0, q1, kl, kh, q2lo, q2hi)
                 elo, ehi = pallas_mont.mont_add_pair(
                     elo, ehi, ylo, yhi, q2lo, q2hi)
-            xpair = (elo, ehi)
+            return (elo, ehi)
 
-        olo, ohi = _cell_transform(
-            xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-            L, G, P1, P2, q2, single, gk,
-        )
-        for i in range(nkeys):
-            if single:
-                t = _redc30(olo, krefs[i][0, 0], kl, q0)
+        def fold_a(g):
+            return (ta_ref[0, g, 0], ta_ref[0, g, 1],
+                    ta_ref[0, g, 2], ta_ref[0, g, 3])
 
-                @pl.when(p == 0)
-                def _(i=i, t=t):
-                    acc_ref[i] = t
+        def fold_b(g):
+            return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
+                    fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
 
-                @pl.when(p != 0)
-                def _(i=i, t=t):
-                    acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
+        def dots_a(j):
+            xpair = ext(j)
+            planes = _limb_planes(xpair[0], xpair[1], L, single)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[j], L, P1)
+
+        def dots_b(j):
+            pair = (u_scr[j, 0], None if single else u_scr[j, 1])
+            planes = _limb_planes(pair[0], pair[1], L, single)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[j], L, P2)
+
+        def maybe_tail(j, fn):
+            # skip the padded slot's compute at runtime: only the LAST
+            # slot of the LAST block can be padding
+            if pad_tail and j == up - 1:
+                @pl.when(p != n_blk - 1)
+                def _():
+                    fn()
             else:
-                tlo, thi = pallas_mont.mont_mult_pair(
-                    olo, ohi, krefs[2 * i][0, 0], krefs[2 * i + 1][0, 0],
-                    q0, q1, kl, kh,
-                )
+                fn()
 
-                @pl.when(p == 0)
-                def _(i=i, tlo=tlo, thi=thi):
-                    acc_ref[2 * i] = tlo
-                    acc_ref[2 * i + 1] = thi
+        def phase_a(j):
+            ulo, uhi = _recombine_diag(s_ref.at[j], L, G, fold_a, q2,
+                                       single, gk)
+            u_scr[j, 0] = ulo
+            if not single:
+                u_scr[j, 1] = uhi
 
-                @pl.when(p != 0)
-                def _(i=i, tlo=tlo, thi=thi):
-                    alo, ahi = pallas_mont.mont_add_pair(
-                        acc_ref[2 * i], acc_ref[2 * i + 1], tlo, thi,
-                        q2lo, q2hi,
+        # ---- phase A ----------------------------------------------
+        maybe_tail(0, functools.partial(dots_a, 0))
+        for j in range(up):
+            if j + 1 < up:
+                maybe_tail(j + 1, functools.partial(dots_a, j + 1))
+            maybe_tail(j, functools.partial(phase_a, j))
+
+        # ---- phase B + key multiplies + part-sum ------------------
+        def phase_b(j):
+            olo, ohi = _recombine_diag(s_ref.at[j], L, G, fold_b, q2,
+                                       single, gk)
+            first = p == 0 if j == 0 else None   # j>0 always accumulates
+            for i in range(nkeys):
+                if single:
+                    t = _redc30(olo, krefs[i][j, 0], kl, q0)
+                    if first is None:
+                        acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
+                    else:
+                        @pl.when(first)
+                        def _(i=i, t=t):
+                            acc_ref[i] = t
+
+                        @pl.when(~first)
+                        def _(i=i, t=t):
+                            acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
+                else:
+                    tlo, thi = pallas_mont.mont_mult_pair(
+                        olo, ohi, krefs[2 * i][j, 0],
+                        krefs[2 * i + 1][j, 0], q0, q1, kl, kh,
                     )
-                    acc_ref[2 * i] = alo
-                    acc_ref[2 * i + 1] = ahi
+                    if first is None:
+                        alo, ahi = pallas_mont.mont_add_pair(
+                            acc_ref[2 * i], acc_ref[2 * i + 1], tlo, thi,
+                            q2lo, q2hi,
+                        )
+                        acc_ref[2 * i] = alo
+                        acc_ref[2 * i + 1] = ahi
+                    else:
+                        @pl.when(first)
+                        def _(i=i, tlo=tlo, thi=thi):
+                            acc_ref[2 * i] = tlo
+                            acc_ref[2 * i + 1] = thi
 
-        @pl.when(p == n_parts - 1)
+                        @pl.when(~first)
+                        def _(i=i, tlo=tlo, thi=thi):
+                            alo, ahi = pallas_mont.mont_add_pair(
+                                acc_ref[2 * i], acc_ref[2 * i + 1],
+                                tlo, thi, q2lo, q2hi,
+                            )
+                            acc_ref[2 * i] = alo
+                            acc_ref[2 * i + 1] = ahi
+
+        maybe_tail(0, functools.partial(dots_b, 0))
+        for j in range(up):
+            if j + 1 < up:
+                maybe_tail(j + 1, functools.partial(dots_b, j + 1))
+            maybe_tail(j, functools.partial(phase_b, j))
+
+        @pl.when(p == n_blk - 1)
         def _():
             for j in range(w * nkeys):
                 trefs[j][0, 0] = acc_ref[j]
@@ -1021,23 +1101,24 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "n_parts", "amax", "interpret",
-                     "single", "gk"),
+                     "single", "gk", "up", "pad_tail"),
 )
 def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                      P1, P2, n_parts, amax, interpret=False, single=False,
-                     gk=GROUP_K):
+                     gk=GROUP_K, up=1, pad_tail=False):
     """stlanes: (lo[, hi]) u32 [B, n_parts, amax, P1, P2] signed digit
     lanes; ec: u32 [n_parts, Cg, wl*amax] extension constants; keys:
     flat per key/lane u32 [n_parts, Cg, P1, P2].
-    -> w*nkeys arrays [B, Cg, P1, P2]."""
+    -> w*nkeys arrays [B, Cg, P1, P2].  n_parts % up == 0."""
     B = stlanes[0].shape[0]
     Cg = ec.shape[1]
     nd = 2 * L - 1
     wl = 1 if single else 2
     nkeys = len(keys) // wl
     kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax,
-                                single=single, gk=gk)
-    grid = (Cg, B, n_parts)
+                                single=single, gk=gk, up=up,
+                                pad_tail=pad_tail)
+    grid = (Cg, B, n_parts // up)
     z = np.int32(0)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
                             memory_space=pltpu.VMEM)
@@ -1051,10 +1132,10 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Cg, wl * amax), lambda c, b, p: (p, z, z),
+            pl.BlockSpec((up, Cg, wl * amax), lambda c, b, p: (p, z, z),
                          memory_space=pltpu.SMEM),
         ] + [
-            pl.BlockSpec((1, 1, amax, P1, P2),
+            pl.BlockSpec((1, up, amax, P1, P2),
                          lambda c, b, p: (b, p, z, z, z),
                          memory_space=pltpu.VMEM)
             for _ in stlanes
@@ -1067,14 +1148,15 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                          lambda c, b, p: (c, z, z, z, z),
                          memory_space=pltpu.VMEM),
         ] + [
-            pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (p, c, z, z),
+            pl.BlockSpec((up, 1, P1, P2), lambda c, b, p: (p, c, z, z),
                          memory_space=pltpu.VMEM)
             for _ in keys
         ],
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
         scratch_shapes=[
-            pltpu.VMEM((nd, P1, P2), jnp.int32),
+            pltpu.VMEM((up, nd, P1, P2), jnp.int32),
+            pltpu.VMEM((up, wl, P1, P2), jnp.uint32),
             pltpu.VMEM((wl * nkeys, P1, P2), jnp.uint32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -1086,6 +1168,50 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
         interpret=interpret,
     )(consts, folds.reshape(folds.shape[0], -1), ec, *stlanes,
       W1, W2, TA, *keys)
+
+
+def _parts_up(L, G, P1, P2, wl, nkeys, amax,
+              budget=int(13 * 2**20)) -> int:
+    """Parts-per-cell for the all-parts kernel.  Default 1: the up=2
+    software-pipelined cell measured SLOWER on v5e (179.7 vs 206.4 ct/s
+    zero-padded, 168.4 with the pl.when tail mask, logN15 r4) — the
+    composed kernels are VPU-throughput-bound, so cross-part MXU overlap
+    buys nothing and the pad/predication overhead is pure loss (see
+    PERFORMANCE.md "round-4 experiments").  TIBERATE_PARTS_UP=2 keeps
+    the pipelined cell available for A/B on other hardware; the VMEM
+    fits-check still gates it."""
+    import os
+
+    env = os.environ.get("TIBERATE_PARTS_UP")
+    if env is None:
+        return 1
+    up = max(1, int(env))
+    if up == 1:
+        return 1
+    nd = 2 * L - 1
+    plane = P1 * P2 * 4
+    est2 = (
+        2 * 2 * wl * amax * plane      # digit lanes (double-buffered)
+        + 2 * 2 * wl * nkeys * plane   # key planes (double-buffered)
+        + 2 * nd * plane               # diagonal scratch
+        + 2 * wl * plane               # inter-phase u_scr
+        + 2 * wl * nkeys * plane       # accumulator + out blocks
+        + G * 4 * plane                # TA fold planes
+        + L * P1 * P1 + L * P2 * P2    # W1/W2 int8
+    )
+    return 2 if est2 <= budget else 1
+
+
+def parts_pad_to(tables: KTables, amax: int, nkeys: int = 2) -> int:
+    """Part-count multiple the all-parts kernel pads to (2 when any
+    channel group runs the pipelined up=2 cell).  Engine caches pre-pad
+    their key/ec tensors to this multiple so the big pads do not re-run
+    inside every compiled step."""
+    wl = 1 if tables.lane == "single" else 2
+    return max(
+        _parts_up(g.L, g.n_groups, tables.P1, tables.P2, wl, nkeys, amax)
+        for g in tables.groups
+    )
 
 
 def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
@@ -1122,8 +1248,34 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
             (xu & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
             (xu >> jnp.uint64(32)).astype(jnp.uint32),
         )
+    ups = [
+        _parts_up(g.L, g.n_groups, P1, P2, wl, nkeys, amax)
+        for g in tables.groups
+    ]
+    n_pp = n_parts
+    if any(u > 1 for u in ups) and n_parts % 2:
+        # zero-pad to an even part count: a zero part's extension, NTT
+        # and key products are all exactly zero, so the accumulators are
+        # unchanged (signed digits 0, REDC(0 * k) = 0).  ec/keys may
+        # arrive pre-padded (engine cache) — only the data-dependent
+        # digits must pad per call.
+        n_pp = n_parts + 1
+        stlanes = tuple(
+            jnp.pad(l, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+            for l in stlanes
+        )
+        if ec.shape[0] == n_parts:
+            ec = jnp.pad(ec, ((0, 1), (0, 0), (0, 0)))
+        keys = tuple(
+            tuple(
+                p if p.shape[0] == n_pp
+                else jnp.pad(p, ((0, 1), (0, 0), (0, 0), (0, 0)))
+                for p in pair[:wl]
+            )
+            for pair in keys
+        )
     outs = [[] for _ in range(nkeys)]
-    for g in tables.groups:
+    for g, up in zip(tables.groups, ups):
         L = g.L
         folds = tables.scalars["plain"][g.c0:g.c1, :g.n_groups]
         kflat = tuple(
@@ -1132,8 +1284,9 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
         res = _run_parts_group(
             stlanes, ec[:, g.c0:g.c1], g.W1, g.W2, g.TA, g.consts,
             folds, kflat,
-            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_parts, amax=amax,
-            interpret=interpret, single=single, gk=g.gk,
+            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_pp, amax=amax,
+            interpret=interpret, single=single, gk=g.gk, up=up,
+            pad_tail=n_pp != n_parts,
         )
         for i in range(nkeys):
             outs[i].append(
@@ -1159,7 +1312,15 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
     d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products; (lo, hi)
-    pairs, or lo-only in single-lane mode)."""
+    pairs, or lo-only in single-lane mode).
+
+    The four transforms are software-pipelined (the ub=2 trick of the
+    transform-only kernel, generalized): within each matmul phase,
+    polynomial u+1's diagonal dots are ISSUED before polynomial u's
+    folds read their own diagonals, so the asynchronous MXU drains
+    under the VPU recombination.  Two alternating diagonal buffers
+    carry the in-flight window; the phase-A outputs park in a u32
+    scratch between phases."""
     nd = 2 * L - 1
     wlane = 1 if single else 2
 
@@ -1167,8 +1328,9 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
         xrefs = refs[: 4 * wlane]
         w1_ref, w2_ref, ta_ref = refs[4 * wlane : 4 * wlane + 3]
         rest = refs[4 * wlane + 3 :]
-        out_refs = rest[:-1]
-        s_ref = rest[-1]
+        out_refs = rest[:-2]
+        s_ref = rest[-2]          # (2, nd, p1b, P2) int32 — mod-2 window
+        u_scr = rest[-1]          # (4, wlane, p1b, P2) u32 — phase-A outs
         c = pl.program_id(0)
         q0 = cons_ref[c, 0]
         q1 = cons_ref[c, 1]
@@ -1178,14 +1340,36 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
         kh = cons_ref[c, 5]
         q2 = (q0, q1, q2lo, q2hi)
 
-        def T(i):
+        def fold_a(g):
+            return (ta_ref[0, g, 0], ta_ref[0, g, 1],
+                    ta_ref[0, g, 2], ta_ref[0, g, 3])
+
+        def fold_b(g):
+            return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
+                    fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
+
+        def dots_a(u):
             pair = (
-                xrefs[wlane * i][0, 0],
-                None if single else xrefs[wlane * i + 1][0, 0],
+                xrefs[wlane * u][0, 0],
+                None if single else xrefs[wlane * u + 1][0, 0],
             )
-            return _cell_transform(pair, c, fold_ref, w1_ref, w2_ref,
-                                   ta_ref, s_ref, L, G, P1, P2, q2,
-                                   single, gk)
+            planes = _limb_planes(pair[0], pair[1], L, single)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[u % 2], L, P1)
+
+        dots_a(0)
+        for u in range(4):
+            if u + 1 < 4:
+                dots_a(u + 1)
+            ulo, uhi = _recombine_diag(s_ref.at[u % 2], L, G, fold_a,
+                                       q2, single, gk)
+            u_scr[u, 0] = ulo
+            if not single:
+                u_scr[u, 1] = uhi
+
+        def dots_b(u):
+            up = (u_scr[u, 0], None if single else u_scr[u, 1])
+            planes = _limb_planes(up[0], up[1], L, single)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[u % 2], L, P2)
 
         if single:
             def mul(a, b):
@@ -1208,14 +1392,21 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
             def store(i, v):
                 out_refs[2 * i][0, 0], out_refs[2 * i + 1][0, 0] = v
 
-        X0 = T(0)
-        X1 = T(1)
-        Y0 = T(2)
-        store(0, mul(X0, Y0))
-        t10 = mul(X1, Y0)
-        Y1 = T(3)
-        store(1, add(mul(X0, Y1), t10))
-        store(2, mul(X1, Y1))
+        F = [None] * 4
+        t10 = None
+        dots_b(0)
+        for u in range(4):
+            if u + 1 < 4:
+                dots_b(u + 1)
+            F[u] = _recombine_diag(s_ref.at[u % 2], L, G, fold_b,
+                                   q2, single, gk)
+            # products issue as soon as operands exist — more VPU work
+            # for the tail dots to hide under
+            if u == 2:
+                store(0, mul(F[0], F[2]))
+                t10 = mul(F[1], F[2])
+        store(1, add(mul(F[0], F[3]), t10))
+        store(2, mul(F[1], F[3]))
 
     return kernel
 
@@ -1237,7 +1428,8 @@ def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     if p1b is None:
         p1b = _pick_p1b(L, G, P1, P2, wl, nkeys=0, npd=0,
                         x_lanes=4 * wl, out_rows=3 * wl,
-                        budget=_TENSOR_BUDGET)
+                        budget=_TENSOR_BUDGET,
+                        extra_rows=(2 * L - 1) + 4 * wl)
     kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
     grid = (Cg, B, P1 // p1b)
     z = np.int32(0)
@@ -1266,7 +1458,8 @@ def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
         ],
         out_specs=[out_spec] * n_out,
         out_shape=[out_shape] * n_out,
-        scratch_shapes=[pltpu.VMEM((nd, p1b, P2), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, nd, p1b, P2), jnp.int32),
+                        pltpu.VMEM((4, wl, p1b, P2), jnp.uint32)],
         cost_estimate=pl.CostEstimate(
             flops=8 * B * Cg * L * L * P1 * P2 * (P1 + P2),
             bytes_accessed=B * Cg * P1 * P2 * (16 * len(xlanes) // 8 + 24),
@@ -1320,7 +1513,8 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
             single=single, gk=g.gk,
             p1b=_pick_p1b(L, g.n_groups, P1, P2, wl, nkeys=0, npd=0,
                           x_lanes=4 * wl, out_rows=3 * wl,
-                          budget=_TENSOR_BUDGET),
+                          budget=_TENSOR_BUDGET,
+                          extra_rows=(2 * L - 1) + 4 * wl),
         )
         for i in range(3 * wl):
             outs[i].append(res[i])
@@ -1344,7 +1538,8 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
 
 
 def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
-              out_rows=None, budget=int(11.5 * 2**20)) -> int:
+              out_rows=None, budget=int(11.5 * 2**20),
+              extra_rows=0) -> int:
     """Row-block size for the P1 axis: the full P1 when the cell's VMEM
     working set fits (the logN <= 16 regime), else the largest power-of-
     two fraction that fits — streaming row blocks through VMEM is what
@@ -1373,6 +1568,7 @@ def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
             + nd * p1b * P2 * 4       # diagonal scratch int32
             + p1b * L * P2 * 4        # one dot output int32
             + 4 * p1b * P2 * out_rows
+            + 4 * p1b * P2 * extra_rows   # pipeline window scratch
         )
         if est <= budget:
             break
@@ -1397,7 +1593,8 @@ def tensor_fits(tables: KTables) -> bool:
     for g in tables.groups:
         p1b = _pick_p1b(g.L, g.n_groups, tables.P1, tables.P2, wl,
                         nkeys=0, npd=0, x_lanes=4 * wl, out_rows=3 * wl,
-                        budget=_TENSOR_BUDGET)
+                        budget=_TENSOR_BUDGET,
+                        extra_rows=(2 * g.L - 1) + 4 * wl)
         if p1b < _TENSOR_MIN_P1B and p1b < tables.P1:
             return False
     return True
@@ -1435,8 +1632,8 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     npd = (len(pdiv) - 1) // wl if pdiv else 0
     if p1b is None:
         p1b = _pick_p1b(L, G, P1, P2, wl, nkeys, npd)
-    if nkeys or npd or B % ub or p1b != P1:
-        ub = 1               # unroll is the transform-only fast path
+    if nkeys or B % ub or p1b != P1:
+        ub = 1               # unroll: transform-only and pdiv paths
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
                           pdiv=npd, single=single, gk=gk, ub=ub)
     grid = (Cg, B // ub, P1 // p1b)
@@ -1451,7 +1648,7 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((Cg, 2 + 2 * npd), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM))
         pd_specs.extend(
-            pl.BlockSpec((1, p1b, P2), lambda c, b, p: (b, p, z),
+            pl.BlockSpec((ub, p1b, P2), lambda c, b, p: (b, p, z),
                          memory_space=pltpu.VMEM)
             for _ in range(wl * npd))
     outs = pl.pallas_call(
@@ -1515,16 +1712,16 @@ INTERPRET = False
 
 @functools.lru_cache(maxsize=1)
 def _transform_unroll() -> int:
-    """Batch-unroll factor for the transform-only kernel (``ub`` in
-    :func:`_run_group`): processes ``ub`` batch items per grid cell so
-    the MXU dots of item u+1 can overlap the VPU recombination of item
-    u.  Experimental: default 1 (off); override with
-    TIBERATE_TRANSFORM_UNROLL=2/4 to A/B on chip.  Fused-epilogue
-    variants (keys / pdiv) and batches not divisible by ``ub`` always
-    run ub=1 (see _run_group)."""
+    """Batch-unroll factor for the transform-only and pdiv kernels
+    (``ub`` in :func:`_run_group`): processes ``ub`` batch items per
+    grid cell, software-pipelined so the MXU dots of item u+1 overlap
+    the VPU recombination (and P-division chain) of item u.  Default 2
+    (+13% on the standalone logN15 transform on chip, r4); override
+    with TIBERATE_TRANSFORM_UNROLL=1/4 to A/B.  Fused-key variants and
+    batches not divisible by ``ub`` always run ub=1 (see _run_group)."""
     import os
 
-    return max(1, int(os.environ.get("TIBERATE_TRANSFORM_UNROLL", "1")))
+    return max(1, int(os.environ.get("TIBERATE_TRANSFORM_UNROLL", "2")))
 
 
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
@@ -1606,14 +1803,27 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         )
         # p1b picked HERE (not inside the jitted _run_group) so it is
         # part of the jit key — the env override then always takes
+        nk = len(kflat) // wl
+        npd_g = (len(pdflat) - 1) // wl if pdflat else 0
+        p1b = _pick_p1b(L, g.n_groups, P1, P2, wl, nk, npd_g)
+        ub = _transform_unroll()
+        if ub > 1 and p1b == P1 and not nk:
+            # the unrolled cell carries ub x lanes / diag buffers /
+            # outputs / pdiv rows — only run it if THAT working set
+            # still fits a full-P1 cell
+            fits = _pick_p1b(
+                L, g.n_groups, P1, P2, wl, nk, npd_g,
+                x_lanes=ub * wl,
+                out_rows=ub * wl * (1 + npd_g),
+                extra_rows=(ub - 1) * (2 * L - 1) + ub * wl,
+            )
+            if fits != P1:
+                ub = 1
         res = _run_group(
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=single, gk=g.gk, ub=_transform_unroll(),
-            p1b=_pick_p1b(L, g.n_groups, P1, P2, wl,
-                          len(kflat) // wl,
-                          (len(pdflat) - 1) // wl if pdflat else 0),
+            single=single, gk=g.gk, ub=ub, p1b=p1b,
         )
         for i in range(n_out):
             outs[i].append(
