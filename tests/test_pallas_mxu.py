@@ -708,13 +708,13 @@ def test_pallas_mxu_under_shard_map():
     # the body rebuilds a block-local KTables (uniform L, c0=0)
     g = fwd.groups[0]
     ro = len(q) // 2
-    sc = fwd.scalars["enter"]
+    sc = g.scalars["enter"]
 
     def rns_fn(blk, W1, W2, TA, consts, scal):
         gb = KGroup(L=g.L, c0=0, c1=ro, W1=W1, W2=W2, TA=TA,
-                    consts=consts, gk=g.gk)
-        tb = KTables((gb,), {"enter": scal}, fwd.P1, fwd.P2, fwd.swap,
-                     fwd.lane)
+                    consts=consts, scalars={"enter": scal}, gk=g.gk,
+                    Lw=g.Lw, k32=g.k32)
+        tb = KTables((gb,), fwd.P1, fwd.P2, fwd.swap, fwd.lane)
         return pallas_mxu.ntt(blk, tb, enter=True, interpret=True)
 
     rns = shard_map(
@@ -803,7 +803,46 @@ def test_pallas_mxu_single_lane_gk_fallback():
 
     fwd_o = mxu_ntt.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
     fwd_k = pallas_mxu.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
-    assert fwd_k.groups[0].gk == 1
+    g = fwd_k.groups[0]
+    if g.Lw:
+        # W-side pre-reduction: Harvey packs overflow 2^31 at depth 512
+        # but the 2^32-companion form still packs 2 output limbs
+        assert g.gk == 2 and g.k32
+    else:
+        assert g.gk == 1
     a = np.asarray(mxu_ntt.ntt(x, fwd_o, enter=True))
     b = np.asarray(pallas_mxu.ntt(x, fwd_k, enter=True, interpret=True))
     np.testing.assert_array_equal(a % qcol, b % qcol)
+
+
+def test_pallas_mxu_wred_vs_legacy(monkeypatch):
+    """The W-side pre-reduction scheme (TIBERATE_WRED=1) and the legacy
+    diagonal scheme (=0) are residue-identical on both lane widths and
+    both directions — the legacy path stays the fallback for groups
+    whose pre-reduced tables exceed the VMEM budget (logN17 62-bit), so
+    it must keep parity."""
+    logN = 8
+    N = 1 << logN
+    rng = np.random.default_rng(31)
+    for bits, qbits in ((62, [40, 40, 60]), (30, [26, 26])):
+        q = _primes(logN, qbits)
+        qcol = np.array(q, dtype=np.int64)[:, None]
+        dt = np.int64 if bits == 62 else np.int32
+        x = jnp.array(np.stack(
+            [rng.integers(0, 2 * qi, N, dtype=np.int64) for qi in q]
+        ).astype(dt))
+        got = {}
+        for env in ("0", "1"):
+            monkeypatch.setenv("TIBERATE_WRED", env)
+            fwd = pallas_mxu.build_tables(q, logN, mont_R_bits=bits)
+            inv = pallas_mxu.build_tables(q, logN, mont_R_bits=bits,
+                                          inverse=True)
+            assert all((g.Lw > 0) == (env == "1") for g in fwd.groups)
+            got[env] = (
+                np.asarray(pallas_mxu.ntt(x, fwd, enter=True,
+                                          interpret=True)),
+                np.asarray(pallas_mxu.intt(x, inv, epilogue="exit",
+                                           interpret=True)),
+            )
+        for a, b in zip(got["0"], got["1"]):
+            np.testing.assert_array_equal(a % qcol, b % qcol)

@@ -107,35 +107,80 @@ def _limb_blocks(W_u64: np.ndarray, L: int) -> np.ndarray:
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class KGroup:
-    """One contiguous channel range sharing a limb count L.
+    """One contiguous channel range sharing a limb structure.
 
-    ``gk`` is the recombination group width (diagonals per Shoup fold):
-    GROUP_K (6) on the u32-pair path, 2 on the single-lane path (group
-    sums must stay < 2^31 there, see ``build_tables``).
+    Two table schemes (static per group, ``Lw``):
+
+    * ``Lw = 0`` — the legacy *diagonal* scheme: W1/W2 hold ONE limb
+      decomposition of the twiddle matrix and the dots produce the
+      2L-1 limb-product diagonals, recombined in ceil((2L-1)/gk) Shoup
+      folds per step.
+    * ``Lw > 0`` — the *W-side pre-reduction* scheme: the tables hold
+      ``(W * 2^(7j)) mod q`` for every INPUT limb j, each decomposed
+      into its own Lw OUTPUT limb planes, so the MXU contraction
+      absorbs the cross-limb carries and produces only Lw diagonals
+      s_i = sum_j (W*2^(7j) mod q)_i @ x_j — the per-step fold count
+      drops to ceil(Lw/gk) (ONE Shoup fold at L=6) at identical MXU
+      MAC count.  Residues mod q are unchanged (sum_i s_i 2^(7i) ≡
+      W @ x mod q by construction); lazy representatives differ,
+      which the [0, 2q) interface already allows.
+
+    ``gk`` is the recombination group width (diagonals per Shoup fold);
+    on the single-lane path ``k32`` selects the 2^32-scaled Shoup
+    companion (packed group sums in [2^31, 2^32) — one extra
+    conditional subtract) over Harvey's 2^31 form.
+
+    ``scalars``: per-variant step-B fold scalars [Cg, G, 4]
+    (w pair + Shoup pair per group) — per-GROUP because gk (and so the
+    2^(7*gk*g) group scale) is chosen per group.
     """
 
-    L: int          # static
+    L: int          # static: value (input) limb count
     c0: int         # static
     c1: int         # static
-    W1: jax.Array   # [Cg, P1, L*P1] int8 (left twiddle limb planes along cols)
-    W2: jax.Array   # [Cg, L*P2, P2] int8 (right twiddle limb planes stacked
-                    #  along rows in REVERSED limb order — see _cell_transform)
+    W1: jax.Array   # diag: [Cg, P1, L*P1] int8; wred: [Cg, P1, Lw*L*P1]
+    W2: jax.Array   # diag: [Cg, L*P2, P2] int8 (REVERSED limb order);
+                    # wred: [Cg, L*P2, Lw*P2] (natural order, i-major cols)
     TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
     consts: jax.Array  # [Cg, 6] u32: q 31-split, 2q pair, k 31-split
+    scalars: dict   # variant -> [Cg, G, 4] u32 step-B fold scalars
     gk: int = GROUP_K  # static
+    Lw: int = 0     # static: output limb count (0 = legacy diag scheme)
+    k32: bool = False  # static: single-lane 2^32 Shoup companion
 
     def tree_flatten(self):
-        return (self.W1, self.W2, self.TA, self.consts), (
-            self.L, self.c0, self.c1, self.gk)
+        names = tuple(sorted(self.scalars))
+        return (
+            (self.W1, self.W2, self.TA, self.consts,
+             tuple(self.scalars[k] for k in names)),
+            (self.L, self.c0, self.c1, self.gk, self.Lw, self.k32, names),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        L, c0, c1, gk = aux
-        return cls(L, c0, c1, *children, gk=gk)
+        L, c0, c1, gk, Lw, k32, names = aux
+        W1, W2, TA, consts, svals = children
+        return cls(L, c0, c1, W1, W2, TA, consts,
+                   dict(zip(names, svals)), gk=gk, Lw=Lw, k32=k32)
+
+    @property
+    def nd(self):
+        """Diagonal (scratch-plane) count per transform step."""
+        return self.Lw if self.Lw else 2 * self.L - 1
 
     @property
     def n_groups(self):
-        return -(-(2 * self.L - 1) // self.gk)
+        return -(-self.nd // self.gk)
+
+
+def _gslice(g: KGroup, a: int, b: int, c0: int, c1: int) -> KGroup:
+    """Channel-slice a KGroup ([a:b] of its arrays, new coords c0:c1)."""
+    return KGroup(
+        L=g.L, c0=c0, c1=c1, W1=g.W1[a:b], W2=g.W2[a:b], TA=g.TA[a:b],
+        consts=g.consts[a:b],
+        scalars={k: v[a:b] for k, v in g.scalars.items()},
+        gk=g.gk, Lw=g.Lw, k32=g.k32,
+    )
 
 
 @jax.tree_util.register_pytree_node_class
@@ -143,32 +188,27 @@ class KGroup:
 class KTables:
     """One direction's kernel tables (see ``mxu_ntt.MxuNttTables``).
 
-    ``scalars[variant]``: [C, G, 4] u32 step-B fold scalars (w pair +
-    Shoup pair per group).  ``lane``: "pair" = u32-pair arithmetic
-    (62-bit moduli), "single" = one u32 lane per value (30-bit moduli,
-    ~3x cheaper folds; requires 4q < 2^30, the reference's own 30-bit
-    REDC precondition, ``mont_cuda_kernel.cuh:11-60``).
+    Fold scalars live per-group (``KGroup.scalars``).  ``lane``:
+    "pair" = u32-pair arithmetic (62-bit moduli), "single" = one u32
+    lane per value (30-bit moduli, ~3x cheaper folds; requires
+    4q < 2^30, the reference's own 30-bit REDC precondition,
+    ``mont_cuda_kernel.cuh:11-60``).
     """
 
     groups: tuple
-    scalars: dict
     P1: int
     P2: int
     swap: bool
     lane: str = "pair"
 
     def tree_flatten(self):
-        names = tuple(sorted(self.scalars))
-        return (
-            (self.groups, tuple(self.scalars[k] for k in names)),
-            (names, self.P1, self.P2, self.swap, self.lane),
-        )
+        return (self.groups,), (self.P1, self.P2, self.swap, self.lane)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        names, P1, P2, swap, lane = aux
-        groups, svals = children
-        return cls(groups, dict(zip(names, svals)), P1, P2, swap, lane)
+        P1, P2, swap, lane = aux
+        (groups,) = children
+        return cls(groups, P1, P2, swap, lane)
 
     def __getitem__(self, sl: slice):
         """Static channel slice (level views), like MxuNttTables."""
@@ -180,14 +220,9 @@ class KTables:
             hi = g.c1 if stop is None else min(g.c1, stop)
             if hi <= lo:
                 continue
-            a, b = lo - g.c0, hi - g.c0
-            groups.append(KGroup(
-                L=g.L, c0=lo - start, c1=hi - start,
-                W1=g.W1[a:b], W2=g.W2[a:b], TA=g.TA[a:b],
-                consts=g.consts[a:b], gk=g.gk,
-            ))
-        scalars = {k: v[start:stop] for k, v in self.scalars.items()}
-        return KTables(tuple(groups), scalars, self.P1, self.P2, self.swap,
+            groups.append(_gslice(g, lo - g.c0, hi - g.c0,
+                                  lo - start, hi - start))
+        return KTables(tuple(groups), self.P1, self.P2, self.swap,
                        self.lane)
 
     def skip_range(self, lo: int, hi: int):
@@ -205,12 +240,8 @@ class KTables:
             for a, b in ((g.c0, min(g.c1, lo)), (max(g.c0, hi), g.c1)):
                 if b <= a:
                     continue
-                ga, gb = a - g.c0, b - g.c0
-                groups.append(KGroup(
-                    L=g.L, c0=a, c1=b, W1=g.W1[ga:gb], W2=g.W2[ga:gb],
-                    TA=g.TA[ga:gb], consts=g.consts[ga:gb], gk=g.gk,
-                ))
-        return KTables(tuple(groups), self.scalars, self.P1, self.P2,
+                groups.append(_gslice(g, a - g.c0, b - g.c0, a, b))
+        return KTables(tuple(groups), self.P1, self.P2,
                        self.swap, self.lane)
 
 
@@ -243,6 +274,70 @@ def _single_group_bound_ok(L: int, gk: int, P_max: int) -> bool:
     return True
 
 
+def _limb_maxes(vmax: int, L: int) -> list:
+    """Per-limb maxima of any value in [0, vmax]."""
+    return [min(LIMB_MASK, vmax >> (LIMB_BITS * i)) for i in range(L)]
+
+
+def _wred_plan(qmax: int, Lx: int, P_max: int, single: bool):
+    """Packing plan for the W-side pre-reduction scheme: returns
+    (Lw, gk, k32) or None when a diagonal overflows the int32 MXU
+    accumulator.  Output-limb diagonal i is bounded by
+    P_max * wl[i] * sum_j xl[j] (wl/xl the per-limb maxima of values
+    < q and < 2q); packed group sums must stay < 2^61 on the pair lane
+    (``_shoup_mult``'s x precondition) and < 2^31 (Harvey) or < 2^32
+    (k32 variant, one extra conditional subtract) on the single lane."""
+    Lw = limbs_for_bits(qmax.bit_length())
+    xl = _limb_maxes(2 * qmax - 1, Lx)
+    wl = _limb_maxes(qmax - 1, Lw)
+    sx = P_max * sum(xl)
+    smax = [wl[i] * sx for i in range(Lw)]
+    if max(smax) >= 1 << 31:          # int32 MXU accumulator
+        return None
+
+    def max_gk(limit):
+        for gk in range(Lw, 0, -1):
+            if all(
+                sum(smax[i] << (LIMB_BITS * (i - g0))
+                    for i in range(g0, min(g0 + gk, Lw))) < limit
+                for g0 in range(0, Lw, gk)
+            ):
+                return gk
+        return 0
+
+    if not single:
+        gk = max_gk(1 << 61)
+        return (Lw, gk, False) if gk else None
+    gk31, gk32 = max_gk(1 << 31), max_gk(1 << 32)
+    if not gk32:
+        return None
+    # prefer Harvey's no-subtract form unless the wider pack saves groups
+    if gk31 and -(-Lw // gk31) == -(-Lw // gk32):
+        return (Lw, gk31, False)
+    return (Lw, gk32, True)
+
+
+# W-side pre-reduction table budget: W1 [P1, Lw*Lx*P1] + W2
+# [Lx*P2, Lw*P2] int8 must stay VMEM-resident per cell (W2 cannot be
+# row-blocked), so large rings / 9-limb groups whose tables exceed this
+# fall back to the legacy diagonal scheme.  Override: TIBERATE_WRED=0
+# forces legacy everywhere, =1 forces wred wherever the bound plan holds.
+_WRED_TABLE_BUDGET = int(7 * 2**20)
+
+
+def _use_wred(plan, Lx: int, P1: int, P2: int) -> bool:
+    import os
+
+    env = os.environ.get("TIBERATE_WRED")
+    if env == "0" or plan is None:
+        return False
+    Lw = plan[0]
+    if env == "1":
+        return True
+    tbl = P1 * Lw * Lx * P1 + (Lx * P2) * (Lw * P2)
+    return tbl <= _WRED_TABLE_BUDGET
+
+
 def build_tables(q, logN: int, *, logN1: int | None = None,
                  mont_R_bits: int = 62, inverse: bool = False,
                  force_L: int | None = None) -> KTables:
@@ -272,16 +367,6 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
         assert all(4 * qi < (1 << 30) for qi in q), (
             "single-lane kernels need 4q < 2^30 (the 30-bit REDC "
             "precondition)")
-    gk = 2 if single else GROUP_K
-    if single and not _single_group_bound_ok(
-        max(limbs_for_bits(qi.bit_length() + 1) for qi in q), gk,
-        max(N1, N2),
-    ):
-        # at large rings the 2-diagonal pack overflows u32 (accumulation
-        # depth P up to 512 at logN17) — fall back to 1 diagonal/group
-        gk = 1
-    gbits = LIMB_BITS * gk
-
     br1 = _br_vec(N1, logN1)
     br2 = _br_vec(N2, logN2)
     n1v = np.arange(N1, dtype=np.int64)
@@ -290,47 +375,112 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
     eT = (np.outer(2 * br1 + 1, n2v)) % _2N                # [r1, n2]
     eW2 = (2 * N1 * np.outer(n2v, br2)) % _2N              # [n2, r2]
 
-    Ls = [limbs_for_bits(qi.bit_length() + 1) for qi in q]
+    if inverse:
+        P1, P2 = N2, N1
+        # Unlike mxu_ntt's REDC folds (which carry an extra R that the
+        # REDC cancels), Shoup folds apply the constant verbatim:
+        # "mont" keeps the values' own R factor (plain N^-1 fold),
+        # "exit" also strips it (N^-1 * R^-1).
+        bases = {
+            "mont": [pow(N, -1, qi) for qi in q],
+            "exit": [pow(N, -1, qi) * pow(R_mont, -1, qi) % qi
+                     for qi in q],
+        }
+    else:
+        P1, P2 = N1, N2
+        bases = {
+            "plain": [1] * len(q),
+            "enter": [R_mont % qi for qi in q],
+        }
+
+    P_max = max(N1, N2)
     if force_L is not None:
-        assert all(L <= force_L for L in Ls), (
+        nat = [limbs_for_bits(qi.bit_length() + 1) for qi in q]
+        assert all(L <= force_L for L in nat), (
             f"force_L={force_L} below a channel's natural limb count")
-        Ls = [force_L] * len(q)
+        # SPMD shards must agree on the FULL static structure (Lx, Lw,
+        # gk, k32, scheme) even though each shard sees different q —
+        # plan from the worst modulus this limb count admits.
+        q_plan = (1 << (LIMB_BITS * force_L - 1)) - 1
+        keys = [(force_L, q_plan)] * len(q)
+    else:
+        keys = [(limbs_for_bits(qi.bit_length() + 1), None) for qi in q]
     bounds = [0]
     for c in range(1, len(q)):
-        if Ls[c] != Ls[c - 1]:
+        if keys[c] != keys[c - 1]:
             bounds.append(c)
     bounds.append(len(q))
 
     groups = []
     for c0, c1 in zip(bounds[:-1], bounds[1:]):
-        L = Ls[c0]
-        G = -(-(2 * L - 1) // gk)
-        if single:
-            assert _single_group_bound_ok(L, gk, max(N1, N2)), (
-                f"single-lane group sums overflow u32 at L={L}, "
-                f"P={max(N1, N2)}")
+        L, q_plan = keys[c0]
+        qmax = q_plan if q_plan is not None else max(q[c0:c1])
+        plan = _wred_plan(qmax, L, P_max, single)
+        wred = _use_wred(plan, L, P1, P2)
+        if wred:
+            Lw, gk, k32 = plan
+            if force_L is not None:
+                Lw = force_L     # zero planes; keeps shards uniform
+            nd = Lw
+        else:
+            Lw, k32 = 0, False
+            nd = 2 * L - 1
+            if single:
+                gk = 2 if _single_group_bound_ok(L, 2, P_max) else 1
+            else:
+                gk = GROUP_K
+        G = -(-nd // gk)
+        gbits = LIMB_BITS * gk
+
+        def shoup_u32(w, qi):
+            return ((w << 32) // qi if k32
+                    else _shoup31(w, qi)) & 0xFFFFFFFF
+
         W1_t, W2_t, TA_t, cons_t = [], [], [], []
         for qi in q[c0:c1]:
             psi = ntt_ops.primitive_root_2N(qi, N)
             if inverse:
                 psi = pow(psi, -1, qi)
-            ps = _power_series(psi, qi, _2N)
-            W1 = ps[eW1]
-            W2 = ps[eW2]
-            if inverse:
-                left, right = W2, W1
-                eTA = eT.T
+            eL, eR = (eW2, eW1) if inverse else (eW1, eW2)
+            eTA = eT.T if inverse else eT
+            if wred:
+                # W-side limb pre-reduction: per input limb j the table
+                # holds (W * 2^(7j)) mod q, itself decomposed into Lw
+                # output-limb planes — the dots then produce output
+                # limbs directly and the cross-limb carries ride the
+                # MXU contraction instead of the VPU fold.
+                lbL, lbR = [], []
+                for j in range(L):
+                    sc = pow(2, LIMB_BITS * j, qi)
+                    ps_j = _power_series(psi, qi, _2N, scale=sc)
+                    lbL.append(_limb_blocks(ps_j[eL], Lw))
+                    lbR.append(_limb_blocks(ps_j[eR], Lw))
+                # W1: [P1, Lw*L*P1], output-limb-major column blocks,
+                # each [P1, L*P1] over input limbs in natural order
+                W1_t.append(np.concatenate(
+                    [lbL[j][i] for i in range(Lw) for j in range(L)],
+                    axis=1))
+                # W2: [L*P2, Lw*P2] — rows input-limb-major (matching
+                # the natural-order lhs concat), columns output-limb-
+                # major
+                W2_t.append(np.concatenate(
+                    [np.concatenate([lbR[j][i] for j in range(L)],
+                                    axis=0)
+                     for i in range(Lw)], axis=1))
             else:
-                left, right = W1, W2
-                eTA = eT
-            # left limbs concatenated along columns: [P1, L*P1] — diagonal
-            # d's lhs is then one contiguous column slice
-            W1_t.append(np.concatenate(list(_limb_blocks(left, L)), axis=1))
-            # right limbs stacked along rows in REVERSED limb order:
-            # [L*P2, P2] — diagonal d's rhs is one contiguous row slice
-            rl = _limb_blocks(right, L)              # [L, P2a, P2b]
-            W2_t.append(np.concatenate(list(rl)[::-1], axis=0))
-            # TA fold planes per group: w = T * 2^(gbits*g) mod q (+ Shoup)
+                ps = _power_series(psi, qi, _2N)
+                left, right = ps[eL], ps[eR]
+                # left limbs concatenated along columns: [P1, L*P1] —
+                # diagonal d's lhs is then one contiguous column slice
+                W1_t.append(np.concatenate(
+                    list(_limb_blocks(left, L)), axis=1))
+                # right limbs stacked along rows in REVERSED limb
+                # order: [L*P2, P2] — diagonal d's rhs is one
+                # contiguous row slice
+                rl = _limb_blocks(right, L)          # [L, P2a, P2b]
+                W2_t.append(np.concatenate(list(rl)[::-1], axis=0))
+            # TA fold planes per group: w = T * 2^(gbits*g) mod q
+            # (+ Shoup companion)
             planes = []
             for g in range(G):
                 cg = pow(2, gbits * g, qi)
@@ -338,7 +488,8 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
                 w = ps_g[eTA]
                 if single:
                     wsh = np.array(
-                        [[_shoup31(int(v), qi) for v in row] for row in w],
+                        [[shoup_u32(int(v), qi) for v in row]
+                         for row in w],
                         dtype=np.uint32,
                     )
                     z = np.zeros_like(wsh)
@@ -365,48 +516,33 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
                     _split31_cols(np.uint64(k_redc)).reshape(-1),
                 ]))
 
+        scal = {}
+        for name, blist in bases.items():
+            out = np.zeros((c1 - c0, G, 4), dtype=np.uint32)
+            for ci, qi in enumerate(q[c0:c1]):
+                base = blist[c0 + ci]
+                for g in range(G):
+                    w = pow(2, gbits * g, qi) * base % qi
+                    if single:
+                        out[ci, g, 0] = w
+                        out[ci, g, 2] = shoup_u32(w, qi)
+                    else:
+                        out[ci, g, :2] = _split31_cols(np.uint64(w))
+                        out[ci, g, 2:] = _split31_cols(
+                            np.uint64(_shoup(w, qi)))
+            scal[name] = jnp.array(out)
+
         groups.append(KGroup(
             L=L, c0=c0, c1=c1,
             W1=jnp.array(np.stack(W1_t)),
             W2=jnp.array(np.stack(W2_t)),
             TA=jnp.array(np.stack(TA_t)),
             consts=jnp.array(np.stack(cons_t)),
-            gk=gk,
+            scalars=scal,
+            gk=gk, Lw=Lw, k32=k32,
         ))
 
-    G_max = max(g.n_groups for g in groups)
-
-    def fold_scalars(c_list):
-        out = np.zeros((len(q), G_max, 4), dtype=np.uint32)
-        for ci, (qi, base) in enumerate(zip(q, c_list)):
-            for g in range(G_max):
-                w = pow(2, gbits * g, qi) * base % qi
-                if single:
-                    out[ci, g, 0] = w
-                    out[ci, g, 2] = _shoup31(w, qi)
-                else:
-                    out[ci, g, :2] = _split31_cols(np.uint64(w))
-                    out[ci, g, 2:] = _split31_cols(np.uint64(_shoup(w, qi)))
-        return jnp.array(out)
-
-    if inverse:
-        # Unlike mxu_ntt's REDC folds (which carry an extra R that the
-        # REDC cancels), Shoup folds apply the constant verbatim:
-        # "mont" keeps the values' own R factor (plain N^-1 fold),
-        # "exit" also strips it (N^-1 * R^-1).
-        scalars = {
-            "mont": fold_scalars([pow(N, -1, qi) for qi in q]),
-            "exit": fold_scalars(
-                [pow(N, -1, qi) * pow(R_mont, -1, qi) % qi for qi in q]),
-        }
-        P1, P2 = N2, N1
-    else:
-        scalars = {
-            "plain": fold_scalars([1] * len(q)),
-            "enter": fold_scalars([R_mont % qi for qi in q]),
-        }
-        P1, P2 = N1, N2
-    return KTables(tuple(groups), scalars, P1, P2, inverse,
+    return KTables(tuple(groups), P1, P2, inverse,
                    "single" if single else "pair")
 
 
@@ -547,6 +683,31 @@ def _shoup_mult32(x, w, wp, q):
     return w * x - t * q
 
 
+def _mulhi32g(a, b):
+    """General u32 x u32 -> high 32 bits (no operand preconditions —
+    the k32 fold's wp and packed sums both reach [2^31, 2^32))."""
+    M16 = np.uint32(0xFFFF)
+    a0 = a & M16
+    a1 = a >> U32(16)
+    b0 = b & M16
+    b1 = b >> U32(16)
+    ll = a0 * b0
+    m1 = a1 * b0
+    m2 = a0 * b1
+    t = (ll >> U32(16)) + (m1 & M16) + (m2 & M16)   # < 2^18
+    return a1 * b1 + (m1 >> U32(16)) + (m2 >> U32(16)) + (t >> U32(16))
+
+
+def _shoup_mult32_k32(x, w, wp, q, q2):
+    """w * x mod q, lazy [0, 2q); x < 2^32 (full u32), w < q < 2^30,
+    wp = floor(w * 2^32 / q) < 2^32.  t = floor(wp*x / 2^32) >=
+    floor(wx/q) - 2, so r = w*x - t*q < 3q — one conditional subtract
+    of 2q lands in [0, 2q).  The wider pack lets W-side pre-reduction
+    groups span 2 output limbs even at accumulation depth 512."""
+    t = _mulhi32g(wp, x)
+    return _csub32(w * x - t * q, q2)
+
+
 def _redc30(a, b, k, q):
     """REDC_{2^30}(a*b), lazy [0, 2q); a, b < 2q, 4q < 2^30,
     k = (R*R^-1 - 1)/q."""
@@ -601,19 +762,21 @@ def _limb_planes(lo, hi, L, single=False):
     return parts
 
 
-def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
-    """VMEM diagonals -> folded pair [Pa, Pb] in [0, 2q).
+def _recombine_diag(s_ref, nd, G, fold_w, q2, single=False, gk=GROUP_K,
+                    k32=False):
+    """VMEM diagonals (``nd`` planes: 2L-1 on the legacy scheme, Lw
+    under W-side pre-reduction) -> folded pair [Pa, Pb] in [0, 2q).
 
     fold_w(g) -> (w0, w1, s0, s1) 31-split arrays/scalars;
-    q2 = (q0, q1, q2lo, q2hi).  Group sums stay < 2^60 (GROUP_K bound),
-    inside _shoup_mult's x < 2^61 precondition.
+    q2 = (q0, q1, q2lo, q2hi).  Packed group sums stay < 2^61
+    (build-time plan), inside _shoup_mult's x precondition.
 
     Single-lane mode: q2 = (q, 0, 2q, 0) full u32 values, fold_w slots
-    (0, 2) = (w, w'); groups pack ``gk`` = 2 diagonals (< 2^31 sums,
-    ``_single_group_bound_ok``); the hi half returned is zero.
+    (0, 2) = (w, w'); group sums stay < 2^31 (Harvey form) or < 2^32
+    (``k32``, 2^32-scaled companion + conditional subtract); the hi
+    half returned is zero.
     """
     q0, q1, q2lo, q2hi = q2
-    nd = 2 * L - 1
     if single:
         out = None
         for g in range(G):
@@ -623,7 +786,10 @@ def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
             for k in range(k0 + 1, k1):
                 a = a + (s_ref[k].astype(U32) << U32(LIMB_BITS * (k - k0)))
             w = fold_w(g)
-            v = _shoup_mult32(a, w[0], w[2], q0)
+            if k32:
+                v = _shoup_mult32_k32(a, w[0], w[2], q0, q2lo)
+            else:
+                v = _shoup_mult32(a, w[0], w[2], q0)
             out = v if out is None else _csub32(out + v, q2lo)
         return out, jnp.zeros_like(out)
     out = None
@@ -656,15 +822,35 @@ def _recombine_diag(s_ref, L, G, fold_w, q2, single=False, gk=GROUP_K):
     return out
 
 
-def _diag_dots_a(xplanes, w1_ref, s_ref, L, P1):
-    """Step-A diagonal dots: s_ref[d] = sum_{i+j=d} W1_i @ x_j as ONE
+def _diag_dots_a(xplanes, w1_ref, s_ref, L, P1, Lw=0):
+    """Step-A diagonal dots.
+
+    Legacy scheme (Lw=0): s_ref[d] = sum_{i+j=d} W1_i @ x_j as ONE
     contiguous dot per diagonal — lhs is a column slice of the
     [P1, L*P1] concatenated twiddle limbs, rhs a row slice of the
-    limb planes stacked in REVERSED order ([L*P1, P2]).  The cross-limb
-    accumulation rides the MXU contraction (no VPU read-add-stores),
-    each diagonal is written to scratch exactly once, and every dot is
-    issued before the first fold reads its diagonal, so the MXU queue
-    drains under the VPU recombination."""
+    limb planes stacked in REVERSED order ([L*P1, P2]).
+
+    W-side pre-reduction (Lw>0): s_ref[i] = sum_j (W1*2^(7j) mod q)_i
+    @ x_j — lhs is output-limb i's [P1, L*P1] column block of the
+    [P1, Lw*L*P1] table, rhs the natural-order limb stack; only Lw
+    diagonals, every dot full width.
+
+    Either way the cross-limb accumulation rides the MXU contraction
+    (no VPU read-add-stores), each diagonal is written to scratch
+    exactly once, and every dot is issued before the first fold reads
+    its diagonal, so the MXU queue drains under the VPU
+    recombination."""
+    if Lw:
+        xcat = (jnp.concatenate(xplanes, axis=0)
+                if L > 1 else xplanes[0])     # [L*P1, P2]
+        blk = L * P1
+        for i in range(Lw):
+            s_ref[i] = jax.lax.dot_general(
+                w1_ref[:, i * blk:(i + 1) * blk], xcat,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        return
     nd = 2 * L - 1
     xrev = (jnp.concatenate(xplanes[::-1], axis=0)
             if L > 1 else xplanes[0])         # [L*P1, P2]
@@ -679,13 +865,24 @@ def _diag_dots_a(xplanes, w1_ref, s_ref, L, P1):
         )
 
 
-def _diag_dots_b(uplanes, w2_ref, s_ref, L, P2):
-    """Step-B diagonal dots: s_ref[d] = sum_{i+j=d} U_j @ W2_i — lhs a
-    column slice of the concatenated U limbs [p1b, L*P2], rhs a row
-    slice of the reversed-stacked [L*P2, P2] twiddle table."""
-    nd = 2 * L - 1
+def _diag_dots_b(uplanes, w2_ref, s_ref, L, P2, Lw=0):
+    """Step-B diagonal dots.  Legacy (Lw=0): s_ref[d] = sum_{i+j=d}
+    U_j @ W2_i — lhs a column slice of the concatenated U limbs
+    [p1b, L*P2], rhs a row slice of the reversed-stacked [L*P2, P2]
+    table.  W-side pre-reduction (Lw>0): s_ref[i] = U_cat @ W2[:, i] —
+    rhs is output-limb i's [L*P2, P2] column block of the
+    [L*P2, Lw*P2] pre-reduced table."""
     bcat = (jnp.concatenate(uplanes, axis=1)
             if L > 1 else uplanes[0])         # [p1b, L*P2]
+    if Lw:
+        for i in range(Lw):
+            s_ref[i] = jax.lax.dot_general(
+                bcat, w2_ref[:, i * P2:(i + 1) * P2],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        return
+    nd = 2 * L - 1
     for d in range(nd):
         j0 = max(0, d - L + 1)
         j1 = min(d, L - 1)
@@ -698,33 +895,35 @@ def _diag_dots_b(uplanes, w2_ref, s_ref, L, P2):
 
 
 def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-                    L, G, P1, P2, q2, single=False, gk=GROUP_K):
+                    L, G, P1, P2, q2, single=False, gk=GROUP_K, lw=0,
+                    k32=False):
     """One channel-cell 4-step transform: limb extraction, both
     limb-matmul steps and both Shoup recombinations, diagonals in the
     s_ref VMEM scratch.  xpair: (lo, hi) u32 [P1, P2] raw residues
     (single-lane: hi is None) -> (olo, ohi) u32 pair in [0, 2q)."""
+    nd = lw if lw else 2 * L - 1
     xplanes = _limb_planes(xpair[0], xpair[1], L, single)
-    _diag_dots_a(xplanes, w1_ref[0], s_ref, L, P1)
+    _diag_dots_a(xplanes, w1_ref[0], s_ref, L, P1, lw)
 
     def fold_a(g):
         return (ta_ref[0, g, 0], ta_ref[0, g, 1],
                 ta_ref[0, g, 2], ta_ref[0, g, 3])
 
-    ulo, uhi = _recombine_diag(s_ref, L, G, fold_a, q2, single, gk)
+    ulo, uhi = _recombine_diag(s_ref, nd, G, fold_a, q2, single, gk, k32)
 
     uplanes = _limb_planes(ulo, uhi, L, single)
-    _diag_dots_b(uplanes, w2_ref[0], s_ref, L, P2)
+    _diag_dots_b(uplanes, w2_ref[0], s_ref, L, P2, lw)
 
     def fold_b(g):
         return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
                 fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
 
-    return _recombine_diag(s_ref, L, G, fold_b, q2, single, gk)
+    return _recombine_diag(s_ref, nd, G, fold_b, q2, single, gk, k32)
 
 
 def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
-                 gk=GROUP_K, ub=1):
-    nd = 2 * L - 1
+                 gk=GROUP_K, ub=1, lw=0, k32=False):
+    nd = lw if lw else 2 * L - 1
     w = 1 if single else 2   # lanes per value: single mode carries lo only
 
     def kernel(cons_ref, fold_ref, *refs):
@@ -817,15 +1016,15 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                 xpair_u = (xrefs[0][u, 0],
                            None if single else xrefs[1][u, 0])
                 planes = _limb_planes(xpair_u[0], xpair_u[1], L, single)
-                _diag_dots_a(planes, w1_ref[0], s_ref.at[u], L, P1)
+                _diag_dots_a(planes, w1_ref[0], s_ref.at[u], L, P1, lw)
 
             # ---- phase A ------------------------------------------
             dots_a(0)
             for u in range(ub):
                 if u + 1 < ub:
                     dots_a(u + 1)
-                ulo, uhi = _recombine_diag(s_ref.at[u], L, G, fold_a,
-                                           q2, single, gk)
+                ulo, uhi = _recombine_diag(s_ref.at[u], nd, G, fold_a,
+                                           q2, single, gk, k32)
                 u_scr[u, 0] = ulo
                 if not single:
                     u_scr[u, 1] = uhi
@@ -834,14 +1033,14 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
             def dots_b(u):
                 up = (u_scr[u, 0], None if single else u_scr[u, 1])
                 planes = _limb_planes(up[0], up[1], L, single)
-                _diag_dots_b(planes, w2_ref[0], s_ref.at[u], L, P2)
+                _diag_dots_b(planes, w2_ref[0], s_ref.at[u], L, P2, lw)
 
             dots_b(0)
             for u in range(ub):
                 if u + 1 < ub:
                     dots_b(u + 1)
-                olo, ohi = _recombine_diag(s_ref.at[u], L, G, fold_b,
-                                           q2, single, gk)
+                olo, ohi = _recombine_diag(s_ref.at[u], nd, G, fold_b,
+                                           q2, single, gk, k32)
                 if pdiv:
                     olo, ohi = pdiv_epilogue(olo, ohi, u)
                 out_refs[0][u, 0] = olo
@@ -852,7 +1051,7 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         xpair = (xrefs[0][0, 0], None if single else xrefs[1][0, 0])
         olo, ohi = _cell_transform(
             xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-            L, G, P1, P2, q2, single, gk,
+            L, G, P1, P2, q2, single, gk, lw, k32,
         )
         if nkeys:
             # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
@@ -932,7 +1131,7 @@ def _signed_const_mult30(y, c, kl, q0, q2lo):
 
 
 def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
-                       gk=GROUP_K, up=1, pad_tail=False):
+                       gk=GROUP_K, up=1, pad_tail=False, lw=0, k32=False):
     """All keyswitch parts in one kernel: grid (Cg, B, n_parts/up) with
     the part axis fastest; per (channel, batch) cell the basis extension
     (reference ``ckks_engine.py:906-951``: ext = st0*Rs + sum_i
@@ -951,7 +1150,7 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
     block as padding: its compute is SKIPPED at runtime (pl.when), so an
     odd real part count costs no extra transform — the pad exists only
     so the block fetches stay in bounds."""
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
     w = 1 if single else 2
     n_blk = n_parts // up
     assert n_blk * up == n_parts
@@ -1008,12 +1207,12 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
         def dots_a(j):
             xpair = ext(j)
             planes = _limb_planes(xpair[0], xpair[1], L, single)
-            _diag_dots_a(planes, w1_ref[0], s_ref.at[j], L, P1)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[j], L, P1, lw)
 
         def dots_b(j):
             pair = (u_scr[j, 0], None if single else u_scr[j, 1])
             planes = _limb_planes(pair[0], pair[1], L, single)
-            _diag_dots_b(planes, w2_ref[0], s_ref.at[j], L, P2)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[j], L, P2, lw)
 
         def maybe_tail(j, fn):
             # skip the padded slot's compute at runtime: only the LAST
@@ -1026,8 +1225,8 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
                 fn()
 
         def phase_a(j):
-            ulo, uhi = _recombine_diag(s_ref.at[j], L, G, fold_a, q2,
-                                       single, gk)
+            ulo, uhi = _recombine_diag(s_ref.at[j], nd, G, fold_a, q2,
+                                       single, gk, k32)
             u_scr[j, 0] = ulo
             if not single:
                 u_scr[j, 1] = uhi
@@ -1041,8 +1240,8 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
 
         # ---- phase B + key multiplies + part-sum ------------------
         def phase_b(j):
-            olo, ohi = _recombine_diag(s_ref.at[j], L, G, fold_b, q2,
-                                       single, gk)
+            olo, ohi = _recombine_diag(s_ref.at[j], nd, G, fold_b, q2,
+                                       single, gk, k32)
             first = p == 0 if j == 0 else None   # j>0 always accumulates
             for i in range(nkeys):
                 if single:
@@ -1101,23 +1300,25 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "n_parts", "amax", "interpret",
-                     "single", "gk", "up", "pad_tail"),
+                     "single", "gk", "up", "pad_tail", "lw", "k32"),
 )
 def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                      P1, P2, n_parts, amax, interpret=False, single=False,
-                     gk=GROUP_K, up=1, pad_tail=False):
+                     gk=GROUP_K, up=1, pad_tail=False, lw=0, k32=False):
     """stlanes: (lo[, hi]) u32 [B, n_parts, amax, P1, P2] signed digit
     lanes; ec: u32 [n_parts, Cg, wl*amax] extension constants; keys:
     flat per key/lane u32 [n_parts, Cg, P1, P2].
     -> w*nkeys arrays [B, Cg, P1, P2].  n_parts % up == 0."""
     B = stlanes[0].shape[0]
     Cg = ec.shape[1]
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
+    w1c = (lw if lw else 1) * L * P1    # W1 column count
+    w2c = (lw if lw else 1) * P2        # W2 column count
     wl = 1 if single else 2
     nkeys = len(keys) // wl
     kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax,
                                 single=single, gk=gk, up=up,
-                                pad_tail=pad_tail)
+                                pad_tail=pad_tail, lw=lw, k32=k32)
     grid = (Cg, B, n_parts // up)
     z = np.int32(0)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
@@ -1140,9 +1341,9 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                          memory_space=pltpu.VMEM)
             for _ in stlanes
         ] + [
-            pl.BlockSpec((1, P1, L * P1), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, P1, w1c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, P1, P2),
                          lambda c, b, p: (c, z, z, z, z),
@@ -1171,7 +1372,7 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
 
 
 def _parts_up(L, G, P1, P2, wl, nkeys, amax,
-              budget=int(13 * 2**20)) -> int:
+              budget=int(13 * 2**20), lw=0) -> int:
     """Parts-per-cell for the all-parts kernel.  Default 1: the up=2
     software-pipelined cell measured SLOWER on v5e (179.7 vs 206.4 ct/s
     zero-padded, 168.4 with the pl.when tail mask, logN15 r4) — the
@@ -1188,7 +1389,7 @@ def _parts_up(L, G, P1, P2, wl, nkeys, amax,
     up = max(1, int(env))
     if up == 1:
         return 1
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
     plane = P1 * P2 * 4
     est2 = (
         2 * 2 * wl * amax * plane      # digit lanes (double-buffered)
@@ -1197,7 +1398,7 @@ def _parts_up(L, G, P1, P2, wl, nkeys, amax,
         + 2 * wl * plane               # inter-phase u_scr
         + 2 * wl * nkeys * plane       # accumulator + out blocks
         + G * 4 * plane                # TA fold planes
-        + L * P1 * P1 + L * P2 * P2    # W1/W2 int8
+        + (lw if lw else 1) * L * (P1 * P1 + P2 * P2)   # W1/W2 int8
     )
     return 2 if est2 <= budget else 1
 
@@ -1209,7 +1410,8 @@ def parts_pad_to(tables: KTables, amax: int, nkeys: int = 2) -> int:
     inside every compiled step."""
     wl = 1 if tables.lane == "single" else 2
     return max(
-        _parts_up(g.L, g.n_groups, tables.P1, tables.P2, wl, nkeys, amax)
+        _parts_up(g.L, g.n_groups, tables.P1, tables.P2, wl, nkeys, amax,
+                  lw=g.Lw)
         for g in tables.groups
     )
 
@@ -1249,7 +1451,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
             (xu >> jnp.uint64(32)).astype(jnp.uint32),
         )
     ups = [
-        _parts_up(g.L, g.n_groups, P1, P2, wl, nkeys, amax)
+        _parts_up(g.L, g.n_groups, P1, P2, wl, nkeys, amax, lw=g.Lw)
         for g in tables.groups
     ]
     n_pp = n_parts
@@ -1277,7 +1479,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
     outs = [[] for _ in range(nkeys)]
     for g, up in zip(tables.groups, ups):
         L = g.L
-        folds = tables.scalars["plain"][g.c0:g.c1, :g.n_groups]
+        folds = g.scalars["plain"]
         kflat = tuple(
             p[:, g.c0:g.c1] for pair in keys for p in pair[:wl]
         )
@@ -1286,7 +1488,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
             folds, kflat,
             L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_pp, amax=amax,
             interpret=interpret, single=single, gk=g.gk, up=up,
-            pad_tail=n_pp != n_parts,
+            pad_tail=n_pp != n_parts, lw=g.Lw, k32=g.k32,
         )
         for i in range(nkeys):
             outs[i].append(
@@ -1308,7 +1510,8 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
     return tuple(finish(p) for p in outs)
 
 
-def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
+def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
+                       k32=False):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
     d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products; (lo, hi)
@@ -1321,7 +1524,7 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
     under the VPU recombination.  Two alternating diagonal buffers
     carry the in-flight window; the phase-A outputs park in a u32
     scratch between phases."""
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
     wlane = 1 if single else 2
 
     def kernel(cons_ref, fold_ref, *refs):
@@ -1354,14 +1557,14 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
                 None if single else xrefs[wlane * u + 1][0, 0],
             )
             planes = _limb_planes(pair[0], pair[1], L, single)
-            _diag_dots_a(planes, w1_ref[0], s_ref.at[u % 2], L, P1)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[u % 2], L, P1, lw)
 
         dots_a(0)
         for u in range(4):
             if u + 1 < 4:
                 dots_a(u + 1)
-            ulo, uhi = _recombine_diag(s_ref.at[u % 2], L, G, fold_a,
-                                       q2, single, gk)
+            ulo, uhi = _recombine_diag(s_ref.at[u % 2], nd, G, fold_a,
+                                       q2, single, gk, k32)
             u_scr[u, 0] = ulo
             if not single:
                 u_scr[u, 1] = uhi
@@ -1369,7 +1572,7 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
         def dots_b(u):
             up = (u_scr[u, 0], None if single else u_scr[u, 1])
             planes = _limb_planes(up[0], up[1], L, single)
-            _diag_dots_b(planes, w2_ref[0], s_ref.at[u % 2], L, P2)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[u % 2], L, P2, lw)
 
         if single:
             def mul(a, b):
@@ -1398,8 +1601,8 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
         for u in range(4):
             if u + 1 < 4:
                 dots_b(u + 1)
-            F[u] = _recombine_diag(s_ref.at[u % 2], L, G, fold_b,
-                                   q2, single, gk)
+            F[u] = _recombine_diag(s_ref.at[u % 2], nd, G, fold_b,
+                                   q2, single, gk, k32)
             # products issue as soon as operands exist — more VPU work
             # for the tail dots to hide under
             if u == 2:
@@ -1414,23 +1617,26 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K):
 @functools.partial(
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
-                     "p1b"),
+                     "p1b", "lw", "k32"),
 )
 def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                       interpret=False, single=False, gk=GROUP_K,
-                      p1b=None):
+                      p1b=None, lw=0, k32=False):
     """xlanes: 4 * wl u32 [B, Cg, P1, P2] raw-residue lanes (lo[, hi]
     per input) -> six u32 [B, Cg, P1, P2] outputs (d0, d1, d2 as
     (lo, hi) pairs; lo only in single mode)."""
     B, Cg = xlanes[0].shape[:2]
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
+    w1c = (lw if lw else 1) * L * P1
+    w2c = (lw if lw else 1) * P2
     wl = 1 if single else 2
     if p1b is None:
         p1b = _pick_p1b(L, G, P1, P2, wl, nkeys=0, npd=0,
                         x_lanes=4 * wl, out_rows=3 * wl,
                         budget=_TENSOR_BUDGET,
-                        extra_rows=(2 * L - 1) + 4 * wl)
-    kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk)
+                        extra_rows=nd + 4 * wl, lw=lw)
+    kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk,
+                                 lw=lw, k32=k32)
     grid = (Cg, B, P1 // p1b)
     z = np.int32(0)
     n_out = 3 if single else 6
@@ -1448,9 +1654,9 @@ def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
             pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [x_spec] * len(xlanes) + [
-            pl.BlockSpec((1, p1b, L * P1), lambda c, b, p: (c, p, z),
+            pl.BlockSpec((1, p1b, w1c), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
@@ -1506,15 +1712,15 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
         xlanes = tuple(
             l[:, g.c0:g.c1] for lane_set in xs for l in lane_set
         )
-        folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
+        folds = g.scalars[variant]
         res = _run_tensor_group(
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
-            single=single, gk=g.gk,
+            single=single, gk=g.gk, lw=g.Lw, k32=g.k32,
             p1b=_pick_p1b(L, g.n_groups, P1, P2, wl, nkeys=0, npd=0,
                           x_lanes=4 * wl, out_rows=3 * wl,
                           budget=_TENSOR_BUDGET,
-                          extra_rows=(2 * L - 1) + 4 * wl),
+                          extra_rows=g.nd + 4 * wl, lw=g.Lw),
         )
         for i in range(3 * wl):
             outs[i].append(res[i])
@@ -1539,7 +1745,7 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
 
 def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
               out_rows=None, budget=int(11.5 * 2**20),
-              extra_rows=0) -> int:
+              extra_rows=0, lw=0) -> int:
     """Row-block size for the P1 axis: the full P1 when the cell's VMEM
     working set fits (the logN <= 16 regime), else the largest power-of-
     two fraction that fits — streaming row blocks through VMEM is what
@@ -1551,7 +1757,8 @@ def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
     env = os.environ.get("TIBERATE_PMXU_P1B")
     if env:
         return min(P1, int(env))
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
+    wmul = lw if lw else 1          # wred tables are lw x wider
     if x_lanes is None:
         x_lanes = wl
     if out_rows is None:
@@ -1562,8 +1769,8 @@ def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
         est = (
             x_lanes * 4 * P1 * P2     # resident raw-residue lanes
             + L * P1 * P2             # xcat int8 (full rows, one live)
-            + L * p1b * P1            # W1 block int8
-            + P2 * L * P2             # W2 int8
+            + wmul * L * p1b * P1     # W1 block int8
+            + wmul * P2 * L * P2      # W2 int8
             + G * 4 * p1b * P2 * 4    # TA planes u32
             + nd * p1b * P2 * 4       # diagonal scratch int32
             + p1b * L * P2 * 4        # one dot output int32
@@ -1594,7 +1801,7 @@ def tensor_fits(tables: KTables) -> bool:
         p1b = _pick_p1b(g.L, g.n_groups, tables.P1, tables.P2, wl,
                         nkeys=0, npd=0, x_lanes=4 * wl, out_rows=3 * wl,
                         budget=_TENSOR_BUDGET,
-                        extra_rows=(2 * g.L - 1) + 4 * wl)
+                        extra_rows=g.nd + 4 * wl, lw=g.Lw)
         if p1b < _TENSOR_MIN_P1B and p1b < tables.P1:
             return False
     return True
@@ -1603,11 +1810,11 @@ def tensor_fits(tables: KTables) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
-                     "ub", "p1b"),
+                     "ub", "p1b", "lw", "k32"),
 )
 def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
-               single=False, gk=GROUP_K, ub=1, p1b=None):
+               single=False, gk=GROUP_K, ub=1, p1b=None, lw=0, k32=False):
     """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
     u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
@@ -1626,16 +1833,19 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     contraction, which reads the (resident) full x block.
     """
     B, Cg = xlanes[0].shape[:2]
-    nd = 2 * L - 1
+    nd = lw if lw else 2 * L - 1
     wl = 1 if single else 2   # lanes per value
     nkeys = len(keys) // wl
     npd = (len(pdiv) - 1) // wl if pdiv else 0
     if p1b is None:
-        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys, npd)
+        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys, npd, lw=lw)
     if nkeys or B % ub or p1b != P1:
         ub = 1               # unroll: transform-only and pdiv paths
     kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
-                          pdiv=npd, single=single, gk=gk, ub=ub)
+                          pdiv=npd, single=single, gk=gk, ub=ub,
+                          lw=lw, k32=k32)
+    w1c = (lw if lw else 1) * L * P1
+    w2c = (lw if lw else 1) * P2
     grid = (Cg, B // ub, P1 // p1b)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
     out_spec = pl.BlockSpec((ub, 1, p1b, P2), lambda c, b, p: (b, c, p, z),
@@ -1666,9 +1876,9 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.VMEM)
             for _ in xlanes
         ] + [
-            pl.BlockSpec((1, p1b, L * P1), lambda c, b, p: (c, p, z),
+            pl.BlockSpec((1, p1b, w1c), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L * P2, P2), lambda c, b, p: (c, z, z),
+            pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
@@ -1688,7 +1898,7 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
             [pltpu.VMEM((ub, nd, p1b, P2), jnp.int32),
              pltpu.VMEM((ub, wl, p1b, P2), jnp.uint32)]
             if ub > 1 else [pltpu.VMEM((nd, p1b, P2), jnp.int32)]
-        ),
+        ),  # nd = lw (wred) or 2L-1 (legacy), set above
         input_output_aliases={
             5 + len(xlanes) + len(keys) + i: i for i in range(len(accum))
         },
@@ -1791,7 +2001,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
     for g in tables.groups:
         L = g.L
         xlanes = tuple(l[:, g.c0:g.c1] for l in xlanes_all)
-        folds = tables.scalars[variant][g.c0:g.c1, :g.n_groups]
+        folds = g.scalars[variant]
         kflat = tuple(
             p[g.c0:g.c1] for pair in (keys or ()) for p in pair[:wl]
         )
@@ -1805,7 +2015,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         # part of the jit key — the env override then always takes
         nk = len(kflat) // wl
         npd_g = (len(pdflat) - 1) // wl if pdflat else 0
-        p1b = _pick_p1b(L, g.n_groups, P1, P2, wl, nk, npd_g)
+        p1b = _pick_p1b(L, g.n_groups, P1, P2, wl, nk, npd_g, lw=g.Lw)
         ub = _transform_unroll()
         if ub > 1 and p1b == P1 and not nk:
             # the unrolled cell carries ub x lanes / diag buffers /
@@ -1815,7 +2025,8 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
                 L, g.n_groups, P1, P2, wl, nk, npd_g,
                 x_lanes=ub * wl,
                 out_rows=ub * wl * (1 + npd_g),
-                extra_rows=(ub - 1) * (2 * L - 1) + ub * wl,
+                extra_rows=(ub - 1) * g.nd + ub * wl,
+                lw=g.Lw,
             )
             if fits != P1:
                 ub = 1
@@ -1823,7 +2034,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=single, gk=g.gk, ub=ub, p1b=p1b,
+            single=single, gk=g.gk, ub=ub, p1b=p1b, lw=g.Lw, k32=g.k32,
         )
         for i in range(n_out):
             outs[i].append(

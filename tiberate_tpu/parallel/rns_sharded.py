@@ -98,7 +98,8 @@ def _pallas_switch_tables(eng, level: int, D: int, ro: int, sp_lists):
     leaves = {
         k: dict(W1=t.groups[0].W1, W2=t.groups[0].W2, TA=t.groups[0].TA,
                 consts=t.groups[0].consts,
-                sc=t.scalars["plain" if k[0] == "f" else "exit"])
+                sc=t.groups[0].scalars["plain" if k[0] == "f"
+                                       else "exit"])
         for k, t in tpl.items()
     }
     return tpl, leaves
@@ -112,9 +113,10 @@ def _mk_ktables(tpl, lv, variant: str, rows: int):
 
     g = tpl.groups[0]
     grp = KGroup(L=g.L, c0=0, c1=rows, W1=lv["W1"], W2=lv["W2"],
-                 TA=lv["TA"], consts=lv["consts"], gk=g.gk)
-    return KTables((grp,), {variant: lv["sc"]}, tpl.P1, tpl.P2,
-                   tpl.swap, tpl.lane)
+                 TA=lv["TA"], consts=lv["consts"],
+                 scalars={variant: lv["sc"]}, gk=g.gk, Lw=g.Lw,
+                 k32=g.k32)
+    return KTables((grp,), tpl.P1, tpl.P2, tpl.swap, tpl.lane)
 
 
 def _pallas_keymul_part(tpl, pml, ext, kcat0, kcat1, head, acc):
