@@ -125,52 +125,75 @@ class KGroup:
       W @ x mod q by construction); lazy representatives differ,
       which the [0, 2q) interface already allows.
 
-    ``gk`` is the recombination group width (diagonals per Shoup fold);
-    on the single-lane path ``k32`` selects the 2^32-scaled Shoup
-    companion (packed group sums in [2^31, 2^32) — one extra
-    conditional subtract) over Harvey's 2^31 form.
+    The scheme is chosen PER STEP (``sa`` for the W1 matmul, ``sb`` for
+    the W2 matmul): step A's table is row-blocked with the output rows
+    (p1b streaming), so its pre-reduced form costs only column width,
+    while step B's table must stay fully VMEM-resident — at large
+    rings the B side falls back to legacy while A keeps the 1-fold
+    form.  Each step spec is a static tuple ``(lw, gk, k32)``:
 
-    ``scalars``: per-variant step-B fold scalars [Cg, G, 4]
-    (w pair + Shoup pair per group) — per-GROUP because gk (and so the
-    2^(7*gk*g) group scale) is chosen per group.
+    * ``lw`` — output limb count (0 = legacy diagonal scheme),
+    * ``gk`` — recombination group width (diagonals per Shoup fold),
+    * ``k32`` — single-lane 2^32-scaled Shoup companion (packed group
+      sums in [2^31, 2^32), one extra conditional subtract) instead of
+      Harvey's 2^31 form.
+
+    ``scalars``: per-variant step-B fold scalars [Cg, GB, 4]
+    (w pair + Shoup pair per group) — per-GROUP because the group
+    scale 2^(7*gk*g) depends on this group's gk.
     """
 
     L: int          # static: value (input) limb count
     c0: int         # static
     c1: int         # static
-    W1: jax.Array   # diag: [Cg, P1, L*P1] int8; wred: [Cg, P1, Lw*L*P1]
-    W2: jax.Array   # diag: [Cg, L*P2, P2] int8 (REVERSED limb order);
-                    # wred: [Cg, L*P2, Lw*P2] (natural order, i-major cols)
-    TA: jax.Array   # [Cg, G, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
+    W1: jax.Array   # legacy: [Cg, P1, L*P1] int8; wred: [Cg, P1, lwA*L*P1]
+    W2: jax.Array   # legacy: [Cg, L*P2, P2] int8 (REVERSED limb order);
+                    # wred: [Cg, L*P2, lwB*P2] (natural order, i-major cols)
+    TA: jax.Array   # [Cg, GA, 4, P1, P2] u32 31-splits: (w0, w1, s0, s1)
     consts: jax.Array  # [Cg, 6] u32: q 31-split, 2q pair, k 31-split
-    scalars: dict   # variant -> [Cg, G, 4] u32 step-B fold scalars
-    gk: int = GROUP_K  # static
-    Lw: int = 0     # static: output limb count (0 = legacy diag scheme)
-    k32: bool = False  # static: single-lane 2^32 Shoup companion
+    scalars: dict   # variant -> [Cg, GB, 4] u32 step-B fold scalars
+    sa: tuple = (0, GROUP_K, False)   # static: step-A (lw, gk, k32)
+    sb: tuple = (0, GROUP_K, False)   # static: step-B (lw, gk, k32)
 
     def tree_flatten(self):
         names = tuple(sorted(self.scalars))
         return (
             (self.W1, self.W2, self.TA, self.consts,
              tuple(self.scalars[k] for k in names)),
-            (self.L, self.c0, self.c1, self.gk, self.Lw, self.k32, names),
+            (self.L, self.c0, self.c1, self.sa, self.sb, names),
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        L, c0, c1, gk, Lw, k32, names = aux
+        L, c0, c1, sa, sb, names = aux
         W1, W2, TA, consts, svals = children
         return cls(L, c0, c1, W1, W2, TA, consts,
-                   dict(zip(names, svals)), gk=gk, Lw=Lw, k32=k32)
+                   dict(zip(names, svals)), sa=sa, sb=sb)
 
     @property
     def nd(self):
-        """Diagonal (scratch-plane) count per transform step."""
-        return self.Lw if self.Lw else 2 * self.L - 1
+        """Scratch diagonal-plane count (max over the two steps)."""
+        return max(_step_nd(self.L, self.sa), _step_nd(self.L, self.sb))
 
     @property
-    def n_groups(self):
-        return -(-self.nd // self.gk)
+    def ga(self):
+        return -(-_step_nd(self.L, self.sa) // self.sa[1])
+
+    @property
+    def gb(self):
+        return -(-_step_nd(self.L, self.sb) // self.sb[1])
+
+
+def _step_nd(L: int, spec: tuple) -> int:
+    """Diagonal count for one step spec: lw (wred) or 2L-1 (legacy)."""
+    return spec[0] if spec[0] else 2 * L - 1
+
+
+def _step_params(L: int, spec: tuple):
+    """Unpack one step spec -> (lw, gk, k32, nd, G)."""
+    lw, gk, k32 = spec
+    nd = lw if lw else 2 * L - 1
+    return lw, gk, k32, nd, -(-nd // gk)
 
 
 def _gslice(g: KGroup, a: int, b: int, c0: int, c1: int) -> KGroup:
@@ -179,7 +202,7 @@ def _gslice(g: KGroup, a: int, b: int, c0: int, c1: int) -> KGroup:
         L=g.L, c0=c0, c1=c1, W1=g.W1[a:b], W2=g.W2[a:b], TA=g.TA[a:b],
         consts=g.consts[a:b],
         scalars={k: v[a:b] for k, v in g.scalars.items()},
-        gk=g.gk, Lw=g.Lw, k32=g.k32,
+        sa=g.sa, sb=g.sb,
     )
 
 
@@ -317,25 +340,33 @@ def _wred_plan(qmax: int, Lx: int, P_max: int, single: bool):
     return (Lw, gk32, True)
 
 
-# W-side pre-reduction table budget: W1 [P1, Lw*Lx*P1] + W2
-# [Lx*P2, Lw*P2] int8 must stay VMEM-resident per cell (W2 cannot be
-# row-blocked), so large rings / 9-limb groups whose tables exceed this
-# fall back to the legacy diagonal scheme.  Override: TIBERATE_WRED=0
-# forces legacy everywhere, =1 forces wred wherever the bound plan holds.
-_WRED_TABLE_BUDGET = int(7 * 2**20)
+# W-side pre-reduction table budgets, per channel.  Step A's table
+# ([P1, lw*Lx*P1]) is row-blocked with the p1b stream, so only its HBM
+# footprint matters; step B's ([Lx*P2, lw*P2]) must stay fully
+# VMEM-resident per cell.  Groups over budget fall back to the legacy
+# diagonal scheme FOR THAT STEP ONLY (e.g. logN17 62-bit forward runs
+# wred-A + legacy-B: 3 folds/transform instead of 4).  Override:
+# TIBERATE_WRED=0 forces legacy everywhere, =1 forces wred wherever
+# the packing plan holds.
+_WRED_A_BUDGET = int(6 * 2**20)
+_WRED_B_BUDGET = int(6 * 2**20)
 
 
-def _use_wred(plan, Lx: int, P1: int, P2: int) -> bool:
+def _wred_env():
     import os
 
-    env = os.environ.get("TIBERATE_WRED")
+    return os.environ.get("TIBERATE_WRED")
+
+
+def _step_spec(plan, table_bytes: int, budget: int, legacy: tuple):
+    """Choose one step's (lw, gk, k32): the pre-reduced form when its
+    packing plan exists and its table fits the budget, else legacy."""
+    env = _wred_env()
     if env == "0" or plan is None:
-        return False
-    Lw = plan[0]
-    if env == "1":
-        return True
-    tbl = P1 * Lw * Lx * P1 + (Lx * P2) * (Lw * P2)
-    return tbl <= _WRED_TABLE_BUDGET
+        return legacy
+    if env != "1" and table_bytes > budget:
+        return legacy
+    return plan
 
 
 def build_tables(q, logN: int, *, logN1: int | None = None,
@@ -416,23 +447,21 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
         L, q_plan = keys[c0]
         qmax = q_plan if q_plan is not None else max(q[c0:c1])
         plan = _wred_plan(qmax, L, P_max, single)
-        wred = _use_wred(plan, L, P1, P2)
-        if wred:
-            Lw, gk, k32 = plan
-            if force_L is not None:
-                Lw = force_L     # zero planes; keeps shards uniform
-            nd = Lw
+        if plan is not None and force_L is not None:
+            plan = (force_L, plan[1], plan[2])  # zero planes; uniform shards
+        if single:
+            lgk = 2 if _single_group_bound_ok(L, 2, P_max) else 1
         else:
-            Lw, k32 = 0, False
-            nd = 2 * L - 1
-            if single:
-                gk = 2 if _single_group_bound_ok(L, 2, P_max) else 1
-            else:
-                gk = GROUP_K
-        G = -(-nd // gk)
-        gbits = LIMB_BITS * gk
+            lgk = GROUP_K
+        legacy = (0, lgk, False)
+        Lww = plan[0] if plan else 0
+        sa = _step_spec(plan, P1 * (Lww * L * P1), _WRED_A_BUDGET, legacy)
+        sb = _step_spec(plan, (L * P2) * (Lww * P2), _WRED_B_BUDGET,
+                        legacy)
+        lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+        lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
 
-        def shoup_u32(w, qi):
+        def shoup_u32(w, qi, k32):
             return ((w << 32) // qi if k32
                     else _shoup31(w, qi)) & 0xFFFFFFFF
 
@@ -443,52 +472,58 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
                 psi = pow(psi, -1, qi)
             eL, eR = (eW2, eW1) if inverse else (eW1, eW2)
             eTA = eT.T if inverse else eT
-            if wred:
-                # W-side limb pre-reduction: per input limb j the table
-                # holds (W * 2^(7j)) mod q, itself decomposed into Lw
-                # output-limb planes — the dots then produce output
-                # limbs directly and the cross-limb carries ride the
-                # MXU contraction instead of the VPU fold.
+            if lwA or lwB:
+                # W-side limb pre-reduction (per step): per input limb j
+                # the table holds (W * 2^(7j)) mod q, itself decomposed
+                # into lw output-limb planes — the dots then produce
+                # output limbs directly and the cross-limb carries ride
+                # the MXU contraction instead of the VPU fold.
                 lbL, lbR = [], []
                 for j in range(L):
                     sc = pow(2, LIMB_BITS * j, qi)
                     ps_j = _power_series(psi, qi, _2N, scale=sc)
-                    lbL.append(_limb_blocks(ps_j[eL], Lw))
-                    lbR.append(_limb_blocks(ps_j[eR], Lw))
-                # W1: [P1, Lw*L*P1], output-limb-major column blocks,
+                    if lwA:
+                        lbL.append(_limb_blocks(ps_j[eL], lwA))
+                    if lwB:
+                        lbR.append(_limb_blocks(ps_j[eR], lwB))
+            ps = (None if lwA and lwB
+                  else _power_series(psi, qi, _2N))
+            if lwA:
+                # W1: [P1, lwA*L*P1], output-limb-major column blocks,
                 # each [P1, L*P1] over input limbs in natural order
                 W1_t.append(np.concatenate(
-                    [lbL[j][i] for i in range(Lw) for j in range(L)],
+                    [lbL[j][i] for i in range(lwA) for j in range(L)],
                     axis=1))
-                # W2: [L*P2, Lw*P2] — rows input-limb-major (matching
+            else:
+                # legacy: left limbs concatenated along columns
+                # [P1, L*P1] — diagonal d's lhs is then one contiguous
+                # column slice
+                W1_t.append(np.concatenate(
+                    list(_limb_blocks(ps[eL], L)), axis=1))
+            if lwB:
+                # W2: [L*P2, lwB*P2] — rows input-limb-major (matching
                 # the natural-order lhs concat), columns output-limb-
                 # major
                 W2_t.append(np.concatenate(
                     [np.concatenate([lbR[j][i] for j in range(L)],
                                     axis=0)
-                     for i in range(Lw)], axis=1))
+                     for i in range(lwB)], axis=1))
             else:
-                ps = _power_series(psi, qi, _2N)
-                left, right = ps[eL], ps[eR]
-                # left limbs concatenated along columns: [P1, L*P1] —
-                # diagonal d's lhs is then one contiguous column slice
-                W1_t.append(np.concatenate(
-                    list(_limb_blocks(left, L)), axis=1))
-                # right limbs stacked along rows in REVERSED limb
-                # order: [L*P2, P2] — diagonal d's rhs is one
+                # legacy: right limbs stacked along rows in REVERSED
+                # limb order: [L*P2, P2] — diagonal d's rhs is one
                 # contiguous row slice
-                rl = _limb_blocks(right, L)          # [L, P2a, P2b]
+                rl = _limb_blocks(ps[eR], L)         # [L, P2a, P2b]
                 W2_t.append(np.concatenate(list(rl)[::-1], axis=0))
-            # TA fold planes per group: w = T * 2^(gbits*g) mod q
+            # TA fold planes per STEP-A group: w = T * 2^(7*gkA*g) mod q
             # (+ Shoup companion)
             planes = []
-            for g in range(G):
-                cg = pow(2, gbits * g, qi)
+            for g in range(GA):
+                cg = pow(2, LIMB_BITS * gkA * g, qi)
                 ps_g = _power_series(psi, qi, _2N, scale=cg)
                 w = ps_g[eTA]
                 if single:
                     wsh = np.array(
-                        [[shoup_u32(int(v), qi) for v in row]
+                        [[shoup_u32(int(v), qi, k32A) for v in row]
                          for row in w],
                         dtype=np.uint32,
                     )
@@ -518,14 +553,14 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
 
         scal = {}
         for name, blist in bases.items():
-            out = np.zeros((c1 - c0, G, 4), dtype=np.uint32)
+            out = np.zeros((c1 - c0, GB, 4), dtype=np.uint32)
             for ci, qi in enumerate(q[c0:c1]):
                 base = blist[c0 + ci]
-                for g in range(G):
-                    w = pow(2, gbits * g, qi) * base % qi
+                for g in range(GB):
+                    w = pow(2, LIMB_BITS * gkB * g, qi) * base % qi
                     if single:
                         out[ci, g, 0] = w
-                        out[ci, g, 2] = shoup_u32(w, qi)
+                        out[ci, g, 2] = shoup_u32(w, qi, k32B)
                     else:
                         out[ci, g, :2] = _split31_cols(np.uint64(w))
                         out[ci, g, 2:] = _split31_cols(
@@ -539,7 +574,7 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
             TA=jnp.array(np.stack(TA_t)),
             consts=jnp.array(np.stack(cons_t)),
             scalars=scal,
-            gk=gk, Lw=Lw, k32=k32,
+            sa=sa, sb=sb,
         ))
 
     return KTables(tuple(groups), P1, P2, inverse,
@@ -895,35 +930,38 @@ def _diag_dots_b(uplanes, w2_ref, s_ref, L, P2, Lw=0):
 
 
 def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-                    L, G, P1, P2, q2, single=False, gk=GROUP_K, lw=0,
-                    k32=False):
+                    L, P1, P2, q2, single=False, sa=(0, GROUP_K, False),
+                    sb=(0, GROUP_K, False)):
     """One channel-cell 4-step transform: limb extraction, both
     limb-matmul steps and both Shoup recombinations, diagonals in the
     s_ref VMEM scratch.  xpair: (lo, hi) u32 [P1, P2] raw residues
     (single-lane: hi is None) -> (olo, ohi) u32 pair in [0, 2q)."""
-    nd = lw if lw else 2 * L - 1
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     xplanes = _limb_planes(xpair[0], xpair[1], L, single)
-    _diag_dots_a(xplanes, w1_ref[0], s_ref, L, P1, lw)
+    _diag_dots_a(xplanes, w1_ref[0], s_ref, L, P1, lwA)
 
     def fold_a(g):
         return (ta_ref[0, g, 0], ta_ref[0, g, 1],
                 ta_ref[0, g, 2], ta_ref[0, g, 3])
 
-    ulo, uhi = _recombine_diag(s_ref, nd, G, fold_a, q2, single, gk, k32)
+    ulo, uhi = _recombine_diag(s_ref, ndA, GA, fold_a, q2, single, gkA,
+                               k32A)
 
     uplanes = _limb_planes(ulo, uhi, L, single)
-    _diag_dots_b(uplanes, w2_ref[0], s_ref, L, P2, lw)
+    _diag_dots_b(uplanes, w2_ref[0], s_ref, L, P2, lwB)
 
     def fold_b(g):
         return (fold_ref[c, 4 * g + 0], fold_ref[c, 4 * g + 1],
                 fold_ref[c, 4 * g + 2], fold_ref[c, 4 * g + 3])
 
-    return _recombine_diag(s_ref, nd, G, fold_b, q2, single, gk, k32)
+    return _recombine_diag(s_ref, ndB, GB, fold_b, q2, single, gkB, k32B)
 
 
-def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
-                 gk=GROUP_K, ub=1, lw=0, k32=False):
-    nd = lw if lw else 2 * L - 1
+def _make_kernel(L, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
+                 sa=(0, GROUP_K, False), sb=(0, GROUP_K, False), ub=1):
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     w = 1 if single else 2   # lanes per value: single mode carries lo only
 
     def kernel(cons_ref, fold_ref, *refs):
@@ -1016,15 +1054,15 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
                 xpair_u = (xrefs[0][u, 0],
                            None if single else xrefs[1][u, 0])
                 planes = _limb_planes(xpair_u[0], xpair_u[1], L, single)
-                _diag_dots_a(planes, w1_ref[0], s_ref.at[u], L, P1, lw)
+                _diag_dots_a(planes, w1_ref[0], s_ref.at[u], L, P1, lwA)
 
             # ---- phase A ------------------------------------------
             dots_a(0)
             for u in range(ub):
                 if u + 1 < ub:
                     dots_a(u + 1)
-                ulo, uhi = _recombine_diag(s_ref.at[u], nd, G, fold_a,
-                                           q2, single, gk, k32)
+                ulo, uhi = _recombine_diag(s_ref.at[u], ndA, GA, fold_a,
+                                           q2, single, gkA, k32A)
                 u_scr[u, 0] = ulo
                 if not single:
                     u_scr[u, 1] = uhi
@@ -1033,14 +1071,14 @@ def _make_kernel(L, G, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
             def dots_b(u):
                 up = (u_scr[u, 0], None if single else u_scr[u, 1])
                 planes = _limb_planes(up[0], up[1], L, single)
-                _diag_dots_b(planes, w2_ref[0], s_ref.at[u], L, P2, lw)
+                _diag_dots_b(planes, w2_ref[0], s_ref.at[u], L, P2, lwB)
 
             dots_b(0)
             for u in range(ub):
                 if u + 1 < ub:
                     dots_b(u + 1)
-                olo, ohi = _recombine_diag(s_ref.at[u], nd, G, fold_b,
-                                           q2, single, gk, k32)
+                olo, ohi = _recombine_diag(s_ref.at[u], ndB, GB, fold_b,
+                                           q2, single, gkB, k32B)
                 if pdiv:
                     olo, ohi = pdiv_epilogue(olo, ohi, u)
                 out_refs[0][u, 0] = olo
