@@ -41,8 +41,8 @@ inv_k = pallas_mxu.build_tables(q, logN, inverse=True)
 inv_o = mxu_ntt.build_tables(q, logN, inverse=True)
 wl = 2
 g = fwd_k.groups[0]
-print("p1b fwd:", pallas_mxu._pick_p1b(g.L, g.n_groups, fwd_k.P1, fwd_k.P2,
-                                       wl, 0, 0))
+print("p1b fwd:", pallas_mxu._pick_p1b(g.L, g.sa, g.sb, fwd_k.P1,
+                                       fwd_k.P2, wl, 0, 0))
 
 f_o = jax.jit(lambda a: mxu_ntt.ntt(a, fwd_o, enter=True))
 f_k = jax.jit(lambda a: pallas_mxu.ntt(a, fwd_k, enter=True))

@@ -712,8 +712,8 @@ def test_pallas_mxu_under_shard_map():
 
     def rns_fn(blk, W1, W2, TA, consts, scal):
         gb = KGroup(L=g.L, c0=0, c1=ro, W1=W1, W2=W2, TA=TA,
-                    consts=consts, scalars={"enter": scal}, gk=g.gk,
-                    Lw=g.Lw, k32=g.k32)
+                    consts=consts, scalars={"enter": scal}, sa=g.sa,
+                    sb=g.sb)
         tb = KTables((gb,), fwd.P1, fwd.P2, fwd.swap, fwd.lane)
         return pallas_mxu.ntt(blk, tb, enter=True, interpret=True)
 
@@ -804,12 +804,13 @@ def test_pallas_mxu_single_lane_gk_fallback():
     fwd_o = mxu_ntt.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
     fwd_k = pallas_mxu.build_tables(q, logN, logN1=logN1, mont_R_bits=30)
     g = fwd_k.groups[0]
-    if g.Lw:
-        # W-side pre-reduction: Harvey packs overflow 2^31 at depth 512
-        # but the 2^32-companion form still packs 2 output limbs
-        assert g.gk == 2 and g.k32
-    else:
-        assert g.gk == 1
+    for spec in (g.sa, g.sb):
+        if spec[0]:
+            # W-side pre-reduction: Harvey packs overflow 2^31 at depth
+            # 512 but the 2^32-companion form still packs 2 output limbs
+            assert spec[1] == 2 and spec[2]
+        else:
+            assert spec[1] == 1
     a = np.asarray(mxu_ntt.ntt(x, fwd_o, enter=True))
     b = np.asarray(pallas_mxu.ntt(x, fwd_k, enter=True, interpret=True))
     np.testing.assert_array_equal(a % qcol, b % qcol)
@@ -837,7 +838,9 @@ def test_pallas_mxu_wred_vs_legacy(monkeypatch):
             fwd = pallas_mxu.build_tables(q, logN, mont_R_bits=bits)
             inv = pallas_mxu.build_tables(q, logN, mont_R_bits=bits,
                                           inverse=True)
-            assert all((g.Lw > 0) == (env == "1") for g in fwd.groups)
+            assert all((g.sa[0] > 0) == (env == "1")
+                       and (g.sb[0] > 0) == (env == "1")
+                       for g in fwd.groups)
             got[env] = (
                 np.asarray(pallas_mxu.ntt(x, fwd, enter=True,
                                           interpret=True)),

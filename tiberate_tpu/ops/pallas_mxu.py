@@ -1089,7 +1089,7 @@ def _make_kernel(L, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         xpair = (xrefs[0][0, 0], None if single else xrefs[1][0, 0])
         olo, ohi = _cell_transform(
             xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
-            L, G, P1, P2, q2, single, gk, lw, k32,
+            L, P1, P2, q2, single, sa, sb,
         )
         if nkeys:
             # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
@@ -1168,8 +1168,9 @@ def _signed_const_mult30(y, c, kl, q0, q2lo):
                                jnp.where(s2 == U32(2), d, z)))
 
 
-def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
-                       gk=GROUP_K, up=1, pad_tail=False, lw=0, k32=False):
+def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
+                       sa=(0, GROUP_K, False), sb=(0, GROUP_K, False),
+                       up=1, pad_tail=False):
     """All keyswitch parts in one kernel: grid (Cg, B, n_parts/up) with
     the part axis fastest; per (channel, batch) cell the basis extension
     (reference ``ckks_engine.py:906-951``: ext = st0*Rs + sum_i
@@ -1188,7 +1189,8 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
     block as padding: its compute is SKIPPED at runtime (pl.when), so an
     odd real part count costs no extra transform — the pad exists only
     so the block fetches stay in bounds."""
-    nd = lw if lw else 2 * L - 1
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     w = 1 if single else 2
     n_blk = n_parts // up
     assert n_blk * up == n_parts
@@ -1245,12 +1247,12 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
         def dots_a(j):
             xpair = ext(j)
             planes = _limb_planes(xpair[0], xpair[1], L, single)
-            _diag_dots_a(planes, w1_ref[0], s_ref.at[j], L, P1, lw)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[j], L, P1, lwA)
 
         def dots_b(j):
             pair = (u_scr[j, 0], None if single else u_scr[j, 1])
             planes = _limb_planes(pair[0], pair[1], L, single)
-            _diag_dots_b(planes, w2_ref[0], s_ref.at[j], L, P2, lw)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[j], L, P2, lwB)
 
         def maybe_tail(j, fn):
             # skip the padded slot's compute at runtime: only the LAST
@@ -1263,8 +1265,8 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
                 fn()
 
         def phase_a(j):
-            ulo, uhi = _recombine_diag(s_ref.at[j], nd, G, fold_a, q2,
-                                       single, gk, k32)
+            ulo, uhi = _recombine_diag(s_ref.at[j], ndA, GA, fold_a, q2,
+                                       single, gkA, k32A)
             u_scr[j, 0] = ulo
             if not single:
                 u_scr[j, 1] = uhi
@@ -1278,8 +1280,8 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
 
         # ---- phase B + key multiplies + part-sum ------------------
         def phase_b(j):
-            olo, ohi = _recombine_diag(s_ref.at[j], nd, G, fold_b, q2,
-                                       single, gk, k32)
+            olo, ohi = _recombine_diag(s_ref.at[j], ndB, GB, fold_b, q2,
+                                       single, gkB, k32B)
             first = p == 0 if j == 0 else None   # j>0 always accumulates
             for i in range(nkeys):
                 if single:
@@ -1337,26 +1339,29 @@ def _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax, single=False,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "n_parts", "amax", "interpret",
-                     "single", "gk", "up", "pad_tail", "lw", "k32"),
+    static_argnames=("L", "P1", "P2", "n_parts", "amax", "interpret",
+                     "single", "sa", "sb", "up", "pad_tail"),
 )
-def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
+def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L,
                      P1, P2, n_parts, amax, interpret=False, single=False,
-                     gk=GROUP_K, up=1, pad_tail=False, lw=0, k32=False):
+                     sa=(0, GROUP_K, False), sb=(0, GROUP_K, False),
+                     up=1, pad_tail=False):
     """stlanes: (lo[, hi]) u32 [B, n_parts, amax, P1, P2] signed digit
     lanes; ec: u32 [n_parts, Cg, wl*amax] extension constants; keys:
     flat per key/lane u32 [n_parts, Cg, P1, P2].
     -> w*nkeys arrays [B, Cg, P1, P2].  n_parts % up == 0."""
     B = stlanes[0].shape[0]
     Cg = ec.shape[1]
-    nd = lw if lw else 2 * L - 1
-    w1c = (lw if lw else 1) * L * P1    # W1 column count
-    w2c = (lw if lw else 1) * P2        # W2 column count
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
+    nd = max(ndA, ndB)
+    w1c = (lwA if lwA else 1) * L * P1    # W1 column count
+    w2c = (lwB if lwB else 1) * P2        # W2 column count
     wl = 1 if single else 2
     nkeys = len(keys) // wl
-    kernel = _make_parts_kernel(L, G, P1, P2, nkeys, n_parts, amax,
-                                single=single, gk=gk, up=up,
-                                pad_tail=pad_tail, lw=lw, k32=k32)
+    kernel = _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax,
+                                single=single, sa=sa, sb=sb, up=up,
+                                pad_tail=pad_tail)
     grid = (Cg, B, n_parts // up)
     z = np.int32(0)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
@@ -1369,7 +1374,7 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
         in_specs=[
             pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
+            pl.BlockSpec((Cg, 4 * GB), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((up, Cg, wl * amax), lambda c, b, p: (p, z, z),
                          memory_space=pltpu.SMEM),
@@ -1383,7 +1388,7 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, P1, P2),
+            pl.BlockSpec((1, GA, 4, P1, P2),
                          lambda c, b, p: (c, z, z, z, z),
                          memory_space=pltpu.VMEM),
         ] + [
@@ -1409,8 +1414,8 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L, G,
       W1, W2, TA, *keys)
 
 
-def _parts_up(L, G, P1, P2, wl, nkeys, amax,
-              budget=int(13 * 2**20), lw=0) -> int:
+def _parts_up(L, sa, sb, P1, P2, wl, nkeys, amax,
+              budget=int(13 * 2**20)) -> int:
     """Parts-per-cell for the all-parts kernel.  Default 1: the up=2
     software-pipelined cell measured SLOWER on v5e (179.7 vs 206.4 ct/s
     zero-padded, 168.4 with the pl.when tail mask, logN15 r4) — the
@@ -1427,7 +1432,9 @@ def _parts_up(L, G, P1, P2, wl, nkeys, amax,
     up = max(1, int(env))
     if up == 1:
         return 1
-    nd = lw if lw else 2 * L - 1
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
+    nd = max(ndA, ndB)
     plane = P1 * P2 * 4
     est2 = (
         2 * 2 * wl * amax * plane      # digit lanes (double-buffered)
@@ -1435,8 +1442,9 @@ def _parts_up(L, G, P1, P2, wl, nkeys, amax,
         + 2 * nd * plane               # diagonal scratch
         + 2 * wl * plane               # inter-phase u_scr
         + 2 * wl * nkeys * plane       # accumulator + out blocks
-        + G * 4 * plane                # TA fold planes
-        + (lw if lw else 1) * L * (P1 * P1 + P2 * P2)   # W1/W2 int8
+        + GA * 4 * plane               # TA fold planes
+        + (lwA if lwA else 1) * L * P1 * P1    # W1 int8
+        + (lwB if lwB else 1) * L * P2 * P2    # W2 int8
     )
     return 2 if est2 <= budget else 1
 
@@ -1448,8 +1456,7 @@ def parts_pad_to(tables: KTables, amax: int, nkeys: int = 2) -> int:
     inside every compiled step."""
     wl = 1 if tables.lane == "single" else 2
     return max(
-        _parts_up(g.L, g.n_groups, tables.P1, tables.P2, wl, nkeys, amax,
-                  lw=g.Lw)
+        _parts_up(g.L, g.sa, g.sb, tables.P1, tables.P2, wl, nkeys, amax)
         for g in tables.groups
     )
 
@@ -1489,7 +1496,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
             (xu >> jnp.uint64(32)).astype(jnp.uint32),
         )
     ups = [
-        _parts_up(g.L, g.n_groups, P1, P2, wl, nkeys, amax, lw=g.Lw)
+        _parts_up(g.L, g.sa, g.sb, P1, P2, wl, nkeys, amax)
         for g in tables.groups
     ]
     n_pp = n_parts
@@ -1524,9 +1531,9 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
         res = _run_parts_group(
             stlanes, ec[:, g.c0:g.c1], g.W1, g.W2, g.TA, g.consts,
             folds, kflat,
-            L=L, G=g.n_groups, P1=P1, P2=P2, n_parts=n_pp, amax=amax,
-            interpret=interpret, single=single, gk=g.gk, up=up,
-            pad_tail=n_pp != n_parts, lw=g.Lw, k32=g.k32,
+            L=L, P1=P1, P2=P2, n_parts=n_pp, amax=amax,
+            interpret=interpret, single=single, sa=g.sa, sb=g.sb, up=up,
+            pad_tail=n_pp != n_parts,
         )
         for i in range(nkeys):
             outs[i].append(
@@ -1548,8 +1555,8 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
     return tuple(finish(p) for p in outs)
 
 
-def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
-                       k32=False):
+def _make_tensor_kernel(L, P1, P2, single=False, sa=(0, GROUP_K, False),
+                        sb=(0, GROUP_K, False)):
     """Four transforms + CKKS tensor product in one cell: inputs
     x0, x1, y0, y1 (ciphertext pairs), outputs d0 = x0*y0,
     d1 = x0*y1 + x1*y0, d2 = x1*y1 (all Montgomery products; (lo, hi)
@@ -1562,7 +1569,8 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
     under the VPU recombination.  Two alternating diagonal buffers
     carry the in-flight window; the phase-A outputs park in a u32
     scratch between phases."""
-    nd = lw if lw else 2 * L - 1
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     wlane = 1 if single else 2
 
     def kernel(cons_ref, fold_ref, *refs):
@@ -1595,14 +1603,14 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
                 None if single else xrefs[wlane * u + 1][0, 0],
             )
             planes = _limb_planes(pair[0], pair[1], L, single)
-            _diag_dots_a(planes, w1_ref[0], s_ref.at[u % 2], L, P1, lw)
+            _diag_dots_a(planes, w1_ref[0], s_ref.at[u % 2], L, P1, lwA)
 
         dots_a(0)
         for u in range(4):
             if u + 1 < 4:
                 dots_a(u + 1)
-            ulo, uhi = _recombine_diag(s_ref.at[u % 2], nd, G, fold_a,
-                                       q2, single, gk, k32)
+            ulo, uhi = _recombine_diag(s_ref.at[u % 2], ndA, GA, fold_a,
+                                       q2, single, gkA, k32A)
             u_scr[u, 0] = ulo
             if not single:
                 u_scr[u, 1] = uhi
@@ -1610,7 +1618,7 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
         def dots_b(u):
             up = (u_scr[u, 0], None if single else u_scr[u, 1])
             planes = _limb_planes(up[0], up[1], L, single)
-            _diag_dots_b(planes, w2_ref[0], s_ref.at[u % 2], L, P2, lw)
+            _diag_dots_b(planes, w2_ref[0], s_ref.at[u % 2], L, P2, lwB)
 
         if single:
             def mul(a, b):
@@ -1639,8 +1647,8 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
         for u in range(4):
             if u + 1 < 4:
                 dots_b(u + 1)
-            F[u] = _recombine_diag(s_ref.at[u % 2], nd, G, fold_b,
-                                   q2, single, gk, k32)
+            F[u] = _recombine_diag(s_ref.at[u % 2], ndB, GB, fold_b,
+                                   q2, single, gkB, k32B)
             # products issue as soon as operands exist — more VPU work
             # for the tail dots to hide under
             if u == 2:
@@ -1654,27 +1662,29 @@ def _make_tensor_kernel(L, G, P1, P2, single=False, gk=GROUP_K, lw=0,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
-                     "p1b", "lw", "k32"),
+    static_argnames=("L", "P1", "P2", "interpret", "single", "sa", "sb",
+                     "p1b"),
 )
-def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
-                      interpret=False, single=False, gk=GROUP_K,
-                      p1b=None, lw=0, k32=False):
+def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, P1, P2,
+                      interpret=False, single=False,
+                      sa=(0, GROUP_K, False), sb=(0, GROUP_K, False),
+                      p1b=None):
     """xlanes: 4 * wl u32 [B, Cg, P1, P2] raw-residue lanes (lo[, hi]
     per input) -> six u32 [B, Cg, P1, P2] outputs (d0, d1, d2 as
     (lo, hi) pairs; lo only in single mode)."""
     B, Cg = xlanes[0].shape[:2]
-    nd = lw if lw else 2 * L - 1
-    w1c = (lw if lw else 1) * L * P1
-    w2c = (lw if lw else 1) * P2
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
+    nd = max(ndA, ndB)
+    w1c = (lwA if lwA else 1) * L * P1
+    w2c = (lwB if lwB else 1) * P2
     wl = 1 if single else 2
     if p1b is None:
-        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys=0, npd=0,
+        p1b = _pick_p1b(L, sa, sb, P1, P2, wl, nkeys=0, npd=0,
                         x_lanes=4 * wl, out_rows=3 * wl,
                         budget=_TENSOR_BUDGET,
-                        extra_rows=nd + 4 * wl, lw=lw)
-    kernel = _make_tensor_kernel(L, G, P1, P2, single=single, gk=gk,
-                                 lw=lw, k32=k32)
+                        extra_rows=nd + 4 * wl)
+    kernel = _make_tensor_kernel(L, P1, P2, single=single, sa=sa, sb=sb)
     grid = (Cg, B, P1 // p1b)
     z = np.int32(0)
     n_out = 3 if single else 6
@@ -1689,14 +1699,14 @@ def _run_tensor_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
         in_specs=[
             pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
+            pl.BlockSpec((Cg, 4 * GB), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [x_spec] * len(xlanes) + [
             pl.BlockSpec((1, p1b, w1c), lambda c, b, p: (c, p, z),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, p1b, P2),
+            pl.BlockSpec((1, GA, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
                          memory_space=pltpu.VMEM),
         ],
@@ -1753,12 +1763,12 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
         folds = g.scalars[variant]
         res = _run_tensor_group(
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
-            L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
-            single=single, gk=g.gk, lw=g.Lw, k32=g.k32,
-            p1b=_pick_p1b(L, g.n_groups, P1, P2, wl, nkeys=0, npd=0,
+            L=L, P1=P1, P2=P2, interpret=interpret,
+            single=single, sa=g.sa, sb=g.sb,
+            p1b=_pick_p1b(L, g.sa, g.sb, P1, P2, wl, nkeys=0, npd=0,
                           x_lanes=4 * wl, out_rows=3 * wl,
                           budget=_TENSOR_BUDGET,
-                          extra_rows=g.nd + 4 * wl, lw=g.Lw),
+                          extra_rows=g.nd + 4 * wl),
         )
         for i in range(3 * wl):
             outs[i].append(res[i])
@@ -1781,9 +1791,9 @@ def ntt_tensor(x0, x1, y0, y1, fwd: KTables, enter: bool = True,
     return finish(0), finish(1), finish(2)
 
 
-def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
+def _pick_p1b(L, sa, sb, P1, P2, wl, nkeys, npd, x_lanes=None,
               out_rows=None, budget=int(11.5 * 2**20),
-              extra_rows=0, lw=0) -> int:
+              extra_rows=0) -> int:
     """Row-block size for the P1 axis: the full P1 when the cell's VMEM
     working set fits (the logN <= 16 regime), else the largest power-of-
     two fraction that fits — streaming row blocks through VMEM is what
@@ -1795,8 +1805,9 @@ def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
     env = os.environ.get("TIBERATE_PMXU_P1B")
     if env:
         return min(P1, int(env))
-    nd = lw if lw else 2 * L - 1
-    wmul = lw if lw else 1          # wred tables are lw x wider
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
+    nd = max(ndA, ndB)
     if x_lanes is None:
         x_lanes = wl
     if out_rows is None:
@@ -1807,9 +1818,9 @@ def _pick_p1b(L, G, P1, P2, wl, nkeys, npd, x_lanes=None,
         est = (
             x_lanes * 4 * P1 * P2     # resident raw-residue lanes
             + L * P1 * P2             # xcat int8 (full rows, one live)
-            + wmul * L * p1b * P1     # W1 block int8
-            + wmul * P2 * L * P2      # W2 int8
-            + G * 4 * p1b * P2 * 4    # TA planes u32
+            + (lwA or 1) * L * p1b * P1   # W1 block int8 (wred: lwA x)
+            + (lwB or 1) * P2 * L * P2    # W2 int8 (wred: lwB x)
+            + GA * 4 * p1b * P2 * 4   # TA planes u32
             + nd * p1b * P2 * 4       # diagonal scratch int32
             + p1b * L * P2 * 4        # one dot output int32
             + 4 * p1b * P2 * out_rows
@@ -1836,10 +1847,10 @@ def tensor_fits(tables: KTables) -> bool:
     yes; logN17 forward: no — 8 resident lanes leave no headroom)."""
     wl = 1 if tables.lane == "single" else 2
     for g in tables.groups:
-        p1b = _pick_p1b(g.L, g.n_groups, tables.P1, tables.P2, wl,
+        p1b = _pick_p1b(g.L, g.sa, g.sb, tables.P1, tables.P2, wl,
                         nkeys=0, npd=0, x_lanes=4 * wl, out_rows=3 * wl,
                         budget=_TENSOR_BUDGET,
-                        extra_rows=g.nd + 4 * wl, lw=g.Lw)
+                        extra_rows=g.nd + 4 * wl)
         if p1b < _TENSOR_MIN_P1B and p1b < tables.P1:
             return False
     return True
@@ -1847,12 +1858,13 @@ def tensor_fits(tables: KTables) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("L", "G", "P1", "P2", "interpret", "single", "gk",
-                     "ub", "p1b", "lw", "k32"),
+    static_argnames=("L", "P1", "P2", "interpret", "single", "sa", "sb",
+                     "ub", "p1b"),
 )
-def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
+def _run_group(xlanes, W1, W2, TA, consts, folds, L, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
-               single=False, gk=GROUP_K, ub=1, p1b=None, lw=0, k32=False):
+               single=False, sa=(0, GROUP_K, False),
+               sb=(0, GROUP_K, False), ub=1, p1b=None):
     """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
     u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
@@ -1871,19 +1883,20 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
     contraction, which reads the (resident) full x block.
     """
     B, Cg = xlanes[0].shape[:2]
-    nd = lw if lw else 2 * L - 1
+    lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
+    lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
+    nd = max(ndA, ndB)
     wl = 1 if single else 2   # lanes per value
     nkeys = len(keys) // wl
     npd = (len(pdiv) - 1) // wl if pdiv else 0
     if p1b is None:
-        p1b = _pick_p1b(L, G, P1, P2, wl, nkeys, npd, lw=lw)
+        p1b = _pick_p1b(L, sa, sb, P1, P2, wl, nkeys, npd)
     if nkeys or B % ub or p1b != P1:
         ub = 1               # unroll: transform-only and pdiv paths
-    kernel = _make_kernel(L, G, P1, P2, nkeys=nkeys, acc=bool(accum),
-                          pdiv=npd, single=single, gk=gk, ub=ub,
-                          lw=lw, k32=k32)
-    w1c = (lw if lw else 1) * L * P1
-    w2c = (lw if lw else 1) * P2
+    kernel = _make_kernel(L, P1, P2, nkeys=nkeys, acc=bool(accum),
+                          pdiv=npd, single=single, sa=sa, sb=sb, ub=ub)
+    w1c = (lwA if lwA else 1) * L * P1
+    w2c = (lwB if lwB else 1) * P2
     grid = (Cg, B // ub, P1 // p1b)
     z = np.int32(0)  # python 0 would trace as i64 under x64 mode
     out_spec = pl.BlockSpec((ub, 1, p1b, P2), lambda c, b, p: (b, c, p, z),
@@ -1905,7 +1918,7 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
         in_specs=[
             pl.BlockSpec((Cg, 6), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((Cg, 4 * G), lambda c, b, p: (z, z),
+            pl.BlockSpec((Cg, 4 * GB), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM),
         ] + [
             # full rows: step A contracts over the whole P1 axis; the
@@ -1918,7 +1931,7 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, G, P1, P2,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L * P2, w2c), lambda c, b, p: (c, z, z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, 4, p1b, P2),
+            pl.BlockSpec((1, GA, 4, p1b, P2),
                          lambda c, b, p: (c, z, z, p, z),
                          memory_space=pltpu.VMEM),
         ] + [
@@ -2053,26 +2066,25 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         # part of the jit key — the env override then always takes
         nk = len(kflat) // wl
         npd_g = (len(pdflat) - 1) // wl if pdflat else 0
-        p1b = _pick_p1b(L, g.n_groups, P1, P2, wl, nk, npd_g, lw=g.Lw)
+        p1b = _pick_p1b(L, g.sa, g.sb, P1, P2, wl, nk, npd_g)
         ub = _transform_unroll()
         if ub > 1 and p1b == P1 and not nk:
             # the unrolled cell carries ub x lanes / diag buffers /
             # outputs / pdiv rows — only run it if THAT working set
             # still fits a full-P1 cell
             fits = _pick_p1b(
-                L, g.n_groups, P1, P2, wl, nk, npd_g,
+                L, g.sa, g.sb, P1, P2, wl, nk, npd_g,
                 x_lanes=ub * wl,
                 out_rows=ub * wl * (1 + npd_g),
                 extra_rows=(ub - 1) * g.nd + ub * wl,
-                lw=g.Lw,
             )
             if fits != P1:
                 ub = 1
         res = _run_group(
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
-            L=L, G=g.n_groups, P1=P1, P2=P2, interpret=interpret,
+            L=L, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=single, gk=g.gk, ub=ub, p1b=p1b, lw=g.Lw, k32=g.k32,
+            single=single, sa=g.sa, sb=g.sb, ub=ub, p1b=p1b,
         )
         for i in range(n_out):
             outs[i].append(

@@ -114,8 +114,7 @@ def _mk_ktables(tpl, lv, variant: str, rows: int):
     g = tpl.groups[0]
     grp = KGroup(L=g.L, c0=0, c1=rows, W1=lv["W1"], W2=lv["W2"],
                  TA=lv["TA"], consts=lv["consts"],
-                 scalars={variant: lv["sc"]}, gk=g.gk, Lw=g.Lw,
-                 k32=g.k32)
+                 scalars={variant: lv["sc"]}, sa=g.sa, sb=g.sb)
     return KTables((grp,), tpl.P1, tpl.P2, tpl.swap, tpl.lane)
 
 
