@@ -107,7 +107,7 @@ timed("full switcher (9 parts + P-div)", f_sw, a_coef)
 rs = eng.params.rescale_scales[0]
 lp_next = eng._lp(1)
 f_rs = jax.jit(jax.vmap(lambda d: E._rescale_core(
-    d, rs, lp_next, eng.params.round_at[0], True)))
+    d, rs, lp_next, eng.params.q[0] // 2, True)))
 x0 = jnp.stack([jnp.asarray(np.asarray(ct.data[0]), dtype=jnp.int64)] * B)
 timed("rescale_core", f_rs, x0)
 

@@ -186,4 +186,17 @@ int is_prime_u64(u64 n) {
   return 1;
 }
 
+// Shoup-form key row: w[i] = k[i] * rinv mod q (the plain-domain key)
+// and s[i] = floor(w[i] << rbits / q) (the Shoup companion) — the
+// 124-bit division the Python side cannot vectorize.  k values may be
+// lazy [0, 2q).
+void shoup_key_row(const u64* k, i64 n, u64 q, u64 rinv, i64 rbits,
+                   u64* w, u64* s) {
+  for (i64 i = 0; i < n; ++i) {
+    u64 wi = mulmod(k[i] % q, rinv, q);
+    w[i] = wi;
+    s[i] = (u64)(((unsigned __int128)wi << rbits) / q);
+  }
+}
+
 }  // extern "C"

@@ -341,6 +341,12 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
         # multiply + part-sum, ``ckks_engine.py:1048-1058, 1145-1161``).
         from tiberate_tpu.ops import pallas_mxu
 
+        # Shoup-form keys carry companion lanes (2*wl per key,
+        # engine._ksk_quads) — the kernel then runs the cheap constant-
+        # multiply epilogue
+        wl = 1 if lp_sp.pmxu_fwd.lane == "single" else 2
+        shoup = len(ksk_parts[0][0]) > wl
+
         if parts_fused is not None:
             # All parts in ONE pallas call (part-sum in VMEM scratch;
             # engine._ksk_parts_fused): the basis extension over a
@@ -360,8 +366,9 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
                     )
                 sts.append(st)
             st_all = jnp.stack(sts)               # [n_parts, amax, N]
-            acc = pallas_mxu.ntt_keymul_parts(st_all, ec,
-                                              lp_sp.pmxu_fwd, keys_st)
+            acc = pallas_mxu.ntt_keymul_parts(
+                st_all, ec, lp_sp.pmxu_fwd, keys_st,
+                shoup=len(keys_st[0]) > wl)
             c0 = _pdiv_fused(acc[0], lp_sp, lp_ord, PiRs, S)
             c1 = _pdiv_fused(acc[1], lp_sp, lp_ord, PiRs, S)
             return c0, c1
@@ -397,8 +404,8 @@ def _switcher_body(a, ksk_parts, parts, lp_sp, lp_ord, PiRs, lvl, S,
             ext = _extend(state, part, lp_sp, lvl)
             acc = pallas_mxu.ntt_keymul(
                 ext, tbl,
-                ((k0[0][lvl:], k0[1][lvl:]), (k1[0][lvl:], k1[1][lvl:])),
-                accum=acc, pair_out=True,
+                (tuple(l[lvl:] for l in k0), tuple(l[lvl:] for l in k1)),
+                accum=acc, pair_out=True, shoup=shoup,
             )
         c0 = _pdiv_fused(acc[0], lp_sp, lp_ord, PiRs, S)
         c1 = _pdiv_fused(acc[1], lp_sp, lp_ord, PiRs, S)
@@ -912,7 +919,7 @@ class CkksEngine:
                 tuple(
                     jnp.stack([sel[p][i][j][level:]
                                for p in range(len(parts))])
-                    for j in range(2)
+                    for j in range(len(sel[0][i]))
                 )
                 for i in range(2)
             )
@@ -1758,16 +1765,51 @@ class CkksEngine:
             from tiberate_tpu.ops import pallas_mxu
 
             tables = self._lp(0, True).pmxu_fwd
+            wl = 1 if tables.lane == "single" else 2
+            # truncated to the lane count so a key operand's tuple
+            # length distinguishes REDC form (wl lanes) from Shoup form
+            # (2*wl lanes, _ksk_quads) everywhere downstream
             cached = jax.tree_util.tree_map(
-                lambda a: pallas_mxu.key_pairs(a, tables), arrs
+                lambda a: pallas_mxu.key_pairs(a, tables)[:wl], arrs
             )
             obj._pmxu_pairs = cached
         return cached
 
+    def _ksk_quads(self, ksk: KeySwitchKey):
+        """Shoup-form evk lanes (``pallas_mxu.key_quads``): the fused
+        keymul epilogue then runs constant multiplication instead of
+        Montgomery REDC (~40% fewer vector ops per key product, same
+        residues — the NTL/Harvey evk representation).  Cached on the
+        ksk; TIBERATE_SHOUP_KEYS=0 forces the REDC pair form for A/B."""
+        import os
+
+        if not self.use_pallas_mxu:
+            return None
+        if os.environ.get("TIBERATE_SHOUP_KEYS", "1") != "1":
+            return None
+        cached = getattr(ksk, "_pmxu_quads", None)
+        if cached is None:
+            from tiberate_tpu.ops import pallas_mxu
+
+            tables = self._lp(0, True).pmxu_fwd
+            q = [int(x) for x in self.params.q]
+            rb = self.ckksCfg.buffer_bit_length
+            cached = jax.tree_util.tree_map(
+                lambda a: pallas_mxu.key_quads(a, tables, q,
+                                               mont_R_bits=rb),
+                ksk.data,
+            )
+            object.__setattr__(ksk, "_pmxu_quads", cached)
+        return cached
+
     def _ksk_device(self, ksk: KeySwitchKey):
-        """Device form of a key-switching key's part data: pair-split
-        evk rows on the Pallas MXU path (the keyswitch inner loop fuses
-        the part-NTT with both key multiplies), plain arrays otherwise."""
+        """Device form of a key-switching key's part data: Shoup-form
+        quads (default) or pair-split evk rows on the Pallas MXU path
+        (the keyswitch inner loop fuses the part-NTT with both key
+        multiplies), plain arrays otherwise."""
+        quads = self._ksk_quads(ksk)
+        if quads is not None:
+            return quads
         return self._pairs_of(ksk, ksk.data) or ksk.data
 
     def _ksk_args(self, ksk: KeySwitchKey, level: int):

@@ -443,18 +443,21 @@ def _cell_transform(xpair, c, fold_ref, w1_ref, w2_ref, ta_ref, s_ref,
 
 
 def _make_kernel(L, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
-                 sa=(0, GROUP_K, False), sb=(0, GROUP_K, False), ub=1):
+                 sa=(0, GROUP_K, False), sb=(0, GROUP_K, False), ub=1,
+                 skq=False):
     lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
     lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     w = 1 if single else 2   # lanes per value: single mode carries lo only
+    kl_n = 2 * w if skq else w   # key lanes: Shoup form carries companions
 
     def kernel(cons_ref, fold_ref, *refs):
         xrefs = refs[:w]
         w1_ref, w2_ref, ta_ref = refs[w : w + 3]
         rest = refs[w + 3 :]
         if nkeys:
-            krefs = rest[: w * nkeys]          # (klo[, khi]) per key
-            arefs = rest[w * nkeys : 2 * w * nkeys] if acc else ()
+            krefs = rest[: kl_n * nkeys]       # key lanes (see skq)
+            arefs = (rest[kl_n * nkeys : kl_n * nkeys + w * nkeys]
+                     if acc else ())
             trefs = rest[-w * nkeys - 1 : -1]    # (tlo[, thi]) per key
             s_ref = rest[-1]
         elif pdiv:
@@ -578,20 +581,40 @@ def _make_kernel(L, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         if nkeys:
             # Fused keyswitch epilogue: t_i = REDC(out * k_i), the
             # reference's per-part evk multiply (``ckks_engine.py:
-            # 1145-1161``) — the NTT result never leaves VMEM.
+            # 1145-1161``) — the NTT result never leaves VMEM.  With
+            # ``skq`` the keys arrive in Shoup form (plain-domain
+            # k' = k * R^-1 with precomputed companions, see
+            # :func:`key_quads`): t_i = out * k'_i mod q via constant
+            # multiplication — same residues, ~40% fewer vector ops.
             kl = cons_ref[c, 4]
             kh = cons_ref[c, 5]
+            if skq and not single:
+                # [0, 2q) -> [0, q): the Shoup bound needs x < 2^62
+                qplo = q0 | (q1 << U32(31))
+                qphi = q1 >> U32(1)
+                sxlo, sxhi = _csub2q(olo, ohi, qplo, qphi)
             for i in range(nkeys):
                 if single:
-                    t = _redc30(olo, krefs[i][0], kl, q0)
+                    if skq:
+                        t = _shoup_mult32(olo, krefs[2 * i][0],
+                                          krefs[2 * i + 1][0], q0)
+                    else:
+                        t = _redc30(olo, krefs[i][0], kl, q0)
                     if acc:
                         t = _csub32(arefs[i][0, 0] + t, q2lo)
                     trefs[i][0, 0] = t
                     continue
-                tlo, thi = pallas_mont.mont_mult_pair(
-                    olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
-                    q0, q1, kl, kh,
-                )
+                if skq:
+                    tlo, thi = _shoup_mult(
+                        sxlo, sxhi, krefs[4 * i][0], krefs[4 * i + 1][0],
+                        krefs[4 * i + 2][0], krefs[4 * i + 3][0],
+                        q0, q1, q2lo, q2hi,
+                    )
+                else:
+                    tlo, thi = pallas_mont.mont_mult_pair(
+                        olo, ohi, krefs[2 * i][0], krefs[2 * i + 1][0],
+                        q0, q1, kl, kh,
+                    )
                 if acc:
                     # Running part-sum in VMEM (the reference's d0/d1
                     # accumulation across keyswitch parts,
@@ -654,7 +677,7 @@ def _signed_const_mult30(y, c, kl, q0, q2lo):
 
 def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
                        sa=(0, GROUP_K, False), sb=(0, GROUP_K, False),
-                       up=1, pad_tail=False):
+                       up=1, pad_tail=False, skq=False):
     """All keyswitch parts in one kernel: grid (Cg, B, n_parts/up) with
     the part axis fastest; per (channel, batch) cell the basis extension
     (reference ``ckks_engine.py:906-951``: ext = st0*Rs + sum_i
@@ -676,6 +699,7 @@ def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
     lwA, gkA, k32A, ndA, GA = _step_params(L, sa)
     lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     w = 1 if single else 2
+    kl_n = 2 * w if skq else w   # key lanes (Shoup form: + companions)
     n_blk = n_parts // up
     assert n_blk * up == n_parts
 
@@ -683,8 +707,8 @@ def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
         strefs = refs[:w]                    # [1, up, amax, P1, P2]
         w1_ref, w2_ref, ta_ref = refs[w : w + 3]
         rest = refs[w + 3 :]
-        krefs = rest[: w * nkeys]            # [up, 1, P1, P2] at (p, c)
-        trefs = rest[w * nkeys : 2 * w * nkeys]   # outs at (b, c)
+        krefs = rest[: kl_n * nkeys]         # [up, 1, P1, P2] at (p, c)
+        trefs = rest[kl_n * nkeys : kl_n * nkeys + w * nkeys]  # (b, c)
         s_ref, u_scr, acc_ref = rest[-3:]
         c = pl.program_id(0)
         p = pl.program_id(2)
@@ -767,9 +791,17 @@ def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
             olo, ohi = _recombine_diag(s_ref.at[j], ndB, GB, fold_b, q2,
                                        single, gkB, k32B)
             first = p == 0 if j == 0 else None   # j>0 always accumulates
+            if skq and not single:
+                qplo = q0 | (q1 << U32(31))
+                qphi = q1 >> U32(1)
+                sxlo, sxhi = _csub2q(olo, ohi, qplo, qphi)
             for i in range(nkeys):
                 if single:
-                    t = _redc30(olo, krefs[i][j, 0], kl, q0)
+                    if skq:
+                        t = _shoup_mult32(olo, krefs[2 * i][j, 0],
+                                          krefs[2 * i + 1][j, 0], q0)
+                    else:
+                        t = _redc30(olo, krefs[i][j, 0], kl, q0)
                     if first is None:
                         acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
                     else:
@@ -781,10 +813,17 @@ def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
                         def _(i=i, t=t):
                             acc_ref[i] = _csub32(acc_ref[i] + t, q2lo)
                 else:
-                    tlo, thi = pallas_mont.mont_mult_pair(
-                        olo, ohi, krefs[2 * i][j, 0],
-                        krefs[2 * i + 1][j, 0], q0, q1, kl, kh,
-                    )
+                    if skq:
+                        tlo, thi = _shoup_mult(
+                            sxlo, sxhi, krefs[4 * i][j, 0],
+                            krefs[4 * i + 1][j, 0], krefs[4 * i + 2][j, 0],
+                            krefs[4 * i + 3][j, 0], q0, q1, q2lo, q2hi,
+                        )
+                    else:
+                        tlo, thi = pallas_mont.mont_mult_pair(
+                            olo, ohi, krefs[2 * i][j, 0],
+                            krefs[2 * i + 1][j, 0], q0, q1, kl, kh,
+                        )
                     if first is None:
                         alo, ahi = pallas_mont.mont_add_pair(
                             acc_ref[2 * i], acc_ref[2 * i + 1], tlo, thi,
@@ -824,12 +863,12 @@ def _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax, single=False,
 @functools.partial(
     jax.jit,
     static_argnames=("L", "P1", "P2", "n_parts", "amax", "interpret",
-                     "single", "sa", "sb", "up", "pad_tail"),
+                     "single", "sa", "sb", "up", "pad_tail", "skq"),
 )
 def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L,
                      P1, P2, n_parts, amax, interpret=False, single=False,
                      sa=(0, GROUP_K, False), sb=(0, GROUP_K, False),
-                     up=1, pad_tail=False):
+                     up=1, pad_tail=False, skq=False):
     """stlanes: (lo[, hi]) u32 [B, n_parts, amax, P1, P2] signed digit
     lanes; ec: u32 [n_parts, Cg, wl*amax] extension constants; keys:
     flat per key/lane u32 [n_parts, Cg, P1, P2].
@@ -842,10 +881,11 @@ def _run_parts_group(stlanes, ec, W1, W2, TA, consts, folds, keys, L,
     w1c = (lwA if lwA else 1) * L * P1    # W1 column count
     w2c = (lwB if lwB else 1) * P2        # W2 column count
     wl = 1 if single else 2
-    nkeys = len(keys) // wl
+    kl_n = 2 * wl if skq else wl
+    nkeys = len(keys) // kl_n
     kernel = _make_parts_kernel(L, P1, P2, nkeys, n_parts, amax,
                                 single=single, sa=sa, sb=sb, up=up,
-                                pad_tail=pad_tail)
+                                pad_tail=pad_tail, skq=skq)
     grid = (Cg, B, n_parts // up)
     z = np.int32(0)
     out_spec = pl.BlockSpec((1, 1, P1, P2), lambda c, b, p: (b, c, z, z),
@@ -945,7 +985,8 @@ def parts_pad_to(tables: KTables, amax: int, nkeys: int = 2) -> int:
     )
 
 
-def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
+def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False,
+                     shoup: bool = False):
     """The whole keyswitch part loop in one Pallas call — including the
     basis extension: ``st`` [..., n_parts, amax, N] SIGNED mixed-radix
     digits (int64/int32, from ``_pre_extend``; rows past a part's alpha
@@ -967,6 +1008,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
     B = int(np.prod(lead)) if lead else 1
     single = tables.lane == "single"
     wl = 1 if single else 2
+    klanes = (2 if shoup else 1) * wl
     nkeys = len(keys)
     C = ec.shape[1]
 
@@ -1001,7 +1043,7 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
             tuple(
                 p if p.shape[0] == n_pp
                 else jnp.pad(p, ((0, 1), (0, 0), (0, 0), (0, 0)))
-                for p in pair[:wl]
+                for p in pair[:klanes]
             )
             for pair in keys
         )
@@ -1010,14 +1052,14 @@ def ntt_keymul_parts(st, ec, fwd: KTables, keys, interpret: bool = False):
         L = g.L
         folds = g.scalars["plain"]
         kflat = tuple(
-            p[:, g.c0:g.c1] for pair in keys for p in pair[:wl]
+            p[:, g.c0:g.c1] for pair in keys for p in pair[:klanes]
         )
         res = _run_parts_group(
             stlanes, ec[:, g.c0:g.c1], g.W1, g.W2, g.TA, g.consts,
             folds, kflat,
             L=L, P1=P1, P2=P2, n_parts=n_pp, amax=amax,
             interpret=interpret, single=single, sa=g.sa, sb=g.sb, up=up,
-            pad_tail=n_pp != n_parts,
+            pad_tail=n_pp != n_parts, skq=shoup,
         )
         for i in range(nkeys):
             outs[i].append(
@@ -1343,12 +1385,12 @@ def tensor_fits(tables: KTables) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("L", "P1", "P2", "interpret", "single", "sa", "sb",
-                     "ub", "p1b"),
+                     "ub", "p1b", "skq"),
 )
 def _run_group(xlanes, W1, W2, TA, consts, folds, L, P1, P2,
                interpret=False, keys=(), accum=(), pdiv=(),
                single=False, sa=(0, GROUP_K, False),
-               sb=(0, GROUP_K, False), ub=1, p1b=None):
+               sb=(0, GROUP_K, False), ub=1, p1b=None, skq=False):
     """xlanes: (lo[, hi]) u32 [B, Cg, P1, P2] raw-residue lanes ->
     u32 [B, Cg, P1, P2] outputs (limb split happens in-kernel).
 
@@ -1371,14 +1413,16 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, P1, P2,
     lwB, gkB, k32B, ndB, GB = _step_params(L, sb)
     nd = max(ndA, ndB)
     wl = 1 if single else 2   # lanes per value
-    nkeys = len(keys) // wl
+    kl_n = 2 * wl if skq else wl
+    nkeys = len(keys) // kl_n
     npd = (len(pdiv) - 1) // wl if pdiv else 0
     if p1b is None:
         p1b = _pick_p1b(L, sa, sb, P1, P2, wl, nkeys, npd)
     if nkeys or B % ub or p1b != P1:
         ub = 1               # unroll: transform-only and pdiv paths
     kernel = _make_kernel(L, P1, P2, nkeys=nkeys, acc=bool(accum),
-                          pdiv=npd, single=single, sa=sa, sb=sb, ub=ub)
+                          pdiv=npd, single=single, sa=sa, sb=sb, ub=ub,
+                          skq=skq)
     w1c = (lwA if lwA else 1) * L * P1
     w2c = (lwB if lwB else 1) * P2
     grid = (Cg, B // ub, P1 // p1b)
@@ -1470,7 +1514,8 @@ def _transform_unroll() -> int:
 
 
 def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
-           accum=None, pair_out=False, pdiv=None, out_dtype=None):
+           accum=None, pair_out=False, pdiv=None, out_dtype=None,
+           shoup=False):
     """x: [..., C, N] int64/int32 lazy [0, 2q) -> same, lazy [0, 2q).
     x may also be a (lo, hi) u32 pair in the kernel layout
     [..., C, P1, P2] (forward/unswapped only) — e.g. a keyswitch
@@ -1523,6 +1568,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         x_dtype = x.dtype
     nkeys = len(keys) if keys else 0
     n_out = nkeys if nkeys else 1
+    klanes = (2 if shoup else 1) * wl   # lanes per key operand
     accum = tuple(
         tuple(p.reshape(B, C, P1, P2) for p in pair[:wl])
         for pair in accum
@@ -1538,7 +1584,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         xlanes = tuple(l[:, g.c0:g.c1] for l in xlanes_all)
         folds = g.scalars[variant]
         kflat = tuple(
-            p[g.c0:g.c1] for pair in (keys or ()) for p in pair[:wl]
+            p[g.c0:g.c1] for pair in (keys or ()) for p in pair[:klanes]
         )
         aflat = tuple(
             p[:, g.c0:g.c1] for pair in (accum or ()) for p in pair
@@ -1548,7 +1594,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         )
         # p1b picked HERE (not inside the jitted _run_group) so it is
         # part of the jit key — the env override then always takes
-        nk = len(kflat) // wl
+        nk = len(kflat) // klanes
         npd_g = (len(pdflat) - 1) // wl if pdflat else 0
         p1b = _pick_p1b(L, g.sa, g.sb, P1, P2, wl, nk, npd_g)
         ub = _transform_unroll()
@@ -1568,7 +1614,7 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
             xlanes, g.W1, g.W2, g.TA, g.consts, folds,
             L=L, P1=P1, P2=P2, interpret=interpret,
             keys=kflat, accum=aflat, pdiv=pdflat,
-            single=single, sa=g.sa, sb=g.sb, ub=ub, p1b=p1b,
+            single=single, sa=g.sa, sb=g.sb, ub=ub, p1b=p1b, skq=shoup,
         )
         for i in range(n_out):
             outs[i].append(
@@ -1647,8 +1693,69 @@ def key_pairs(k, tables: KTables):
     )
 
 
+def key_quads(k, tables: KTables, q, mont_R_bits: int | None = None):
+    """Shoup-form key lanes for ``ntt_keymul(..., shoup=True)``.
+
+    ``k``: Montgomery NTT-domain key rows [C, N] (the same input as
+    :func:`key_pairs`); ``q``: the C channel moduli.  Precomputes the
+    plain-domain key ``w = k * R^-1 mod q`` and its Shoup companion so
+    the kernel epilogue's REDC(ntt(x) * k) becomes the cheaper constant
+    multiplication ``ntt(x) * w mod q`` (identical residues; the
+    Harvey/NTL evk trick).  Returns u32 [C, P1, P2] planes:
+
+    * pair lane — (w0, w1, s0, s1): 31-bit splits of w and of
+      ``s = floor(w * 2^62 / q)``,
+    * single lane — (w, wp) with ``wp = floor(w * 2^31 / q)``.
+
+    One-time cost (cache per key): the 124-bit companion division runs
+    in the native helper when available, else per-row Python ints.
+    """
+    assert not tables.swap, "key fusion is a forward-NTT epilogue"
+    single = tables.lane == "single"
+    if mont_R_bits is None:
+        mont_R_bits = 30 if single else 62
+    C = k.shape[-2]
+    P1, P2 = tables.P1, tables.P2
+    kn = np.asarray(k).astype(np.uint64)
+    q = [int(x) for x in q]
+    assert len(q) == C
+    if single:
+        qv = np.array(q, dtype=np.uint64)[:, None]
+        rinv = np.array([pow(1 << mont_R_bits, -1, qi) for qi in q],
+                        dtype=np.uint64)[:, None]
+        w = (kn % qv) * rinv % qv          # < 2^60: exact in u64
+        wp = (w << np.uint64(31)) // qv
+        return tuple(
+            jnp.array(a.astype(np.uint32).reshape(C, P1, P2))
+            for a in (w, wp)
+        )
+    R = 1 << mont_R_bits
+    w = np.empty_like(kn)
+    s = np.empty_like(kn)
+    try:
+        from tiberate_tpu.utils import native
+
+        for c, qi in enumerate(q):
+            native.shoup_key_row(kn[c], qi, pow(R, -1, qi),
+                                 mont_R_bits, w[c], s[c])
+    except Exception:
+        for c, qi in enumerate(q):
+            rinv = pow(R, -1, qi)
+            row = [int(v) * rinv % qi for v in kn[c].tolist()]
+            w[c] = np.array(row, dtype=np.uint64)
+            s[c] = np.array([(v << mont_R_bits) // qi for v in row],
+                            dtype=np.uint64)
+    m31 = np.uint64(0x7FFFFFFF)
+    return tuple(
+        jnp.array(a.astype(np.uint32).reshape(C, P1, P2))
+        for a in (w & m31, w >> np.uint64(31), s & m31,
+                  s >> np.uint64(31))
+    )
+
+
 def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
-               interpret: bool = False, accum=None, pair_out: bool = False):
+               interpret: bool = False, accum=None, pair_out: bool = False,
+               shoup: bool = False):
     """Forward NTT fused with per-key Montgomery multiply.
 
     ``keys``: tuple of (klo, khi) pairs from :func:`key_pairs`.  Returns
@@ -1664,9 +1771,13 @@ def ntt_keymul(x, fwd: KTables, keys, enter: bool = False,
     acc (+) REDC(ntt(x) * k_i), the lazy mod-2q running part-sum — the
     whole reference part loop (``ckks_engine.py:1048-1058``) then never
     leaves the kernel between parts.  Convert the final accumulator with
-    :func:`pair_to_poly`."""
+    :func:`pair_to_poly`.
+
+    ``shoup``: keys are :func:`key_quads` Shoup-form lanes instead of
+    :func:`key_pairs` — each output is ``ntt(x) * k * R^-1 mod q`` with
+    identical residues but constant-multiplication cost."""
     return _apply(x, fwd, "enter" if enter else "plain", interpret,
-                  keys=keys, accum=accum, pair_out=pair_out)
+                  keys=keys, accum=accum, pair_out=pair_out, shoup=shoup)
 
 
 def coef_row_pairs(row, tables: KTables):

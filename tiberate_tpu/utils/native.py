@@ -54,6 +54,11 @@ def load():
     lib.chacha20_blocks.restype = None
     lib.is_prime_u64.argtypes = [ctypes.c_uint64]
     lib.is_prime_u64.restype = ctypes.c_int
+    u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+    lib.shoup_key_row.argtypes = [u64p, ctypes.c_int64, ctypes.c_uint64,
+                                  ctypes.c_uint64, ctypes.c_int64, u64p,
+                                  u64p]
+    lib.shoup_key_row.restype = None
     return lib
 
 
@@ -89,3 +94,11 @@ def chacha20_blocks(states) -> np.ndarray:
 
 def is_prime(n: int) -> bool:
     return bool(load().is_prime_u64(n))
+
+
+def shoup_key_row(k, q: int, rinv: int, rbits: int, w_out, s_out):
+    """w = k * rinv mod q and its Shoup companion floor(w << rbits / q)
+    for one channel row (u64 arrays; k may be lazy [0, 2q))."""
+    lib = load()
+    k = np.ascontiguousarray(k, dtype=np.uint64)
+    lib.shoup_key_row(k, k.size, q, rinv, rbits, w_out, s_out)
