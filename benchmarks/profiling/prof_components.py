@@ -43,7 +43,7 @@ def timed(name, fn, *args):
     out = fn(*args)
     jax.tree_util.tree_map(lambda t: np.asarray(t.ravel()[0]) if hasattr(t, 'ravel') else t, out)
     ts = []
-    for iters in (2, 8):
+    for iters in (8, 24):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
@@ -96,12 +96,14 @@ def ext_only(a):
     return E._extend(state, part, lp_sp, lvl)
 timed("pre_extend+extend only", jax.jit(jax.vmap(ext_only)), x)
 
-# full switcher
+# full switcher (keys ride as ARGUMENTS: baked-in quad literals
+# overflow the tunneled remote-compile transport with HTTP 413)
 PiRs = eng.params.PiRs[lvl]
-f_sw = jax.jit(jax.vmap(lambda a: E._switcher_body(
-    a, evk_parts, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S, False)))
+f_sw = jax.jit(jax.vmap(lambda a, kp: E._switcher_body(
+    a, kp, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S, False),
+    in_axes=(0, None)))
 a_coef = jnp.stack([jnp.asarray(np.asarray(ct.data[1])[lvl:], dtype=jnp.int64)] * B)
-timed("full switcher (9 parts + P-div)", f_sw, a_coef)
+timed("full switcher (9 parts + P-div)", f_sw, a_coef, evk_parts)
 
 # rescale
 rs = eng.params.rescale_scales[0]
@@ -121,10 +123,11 @@ timed("FULL cc_mult step", batched, *args, evk_parts, prm)
 # parts-fused switcher (the default path) + its pieces
 pf = eng._ksk_parts_fused(eng.evk, lvl)
 if pf is not None:
-    f_swf = jax.jit(jax.vmap(lambda a: E._switcher_body(
-        a, evk_parts, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S,
-        False, parts_fused=pf)))
-    timed("parts-fused switcher (kernel+Pdiv)", f_swf, a_coef)
+    f_swf = jax.jit(jax.vmap(lambda a, kp, pf_: E._switcher_body(
+        a, kp, parts, lp_sp, lp_ord, PiRs, lvl, eng.params.S,
+        False, parts_fused=pf_), in_axes=(0, None, None)))
+    timed("parts-fused switcher (kernel+Pdiv)", f_swf, a_coef, evk_parts,
+          pf)
 
     keys_st, ec = pf
     amax = max(pt.alpha for pt in parts)
@@ -142,11 +145,14 @@ if pf is not None:
     timed("  pre_extend digits (9 parts)", jax.jit(jax.vmap(digits_only)),
           a_coef)
 
-    def kernel_only(a):
-        st_all = digits_only.__wrapped__(a) if hasattr(digits_only, '__wrapped__') else digits_only(a)
-        return pallas_mxu.ntt_keymul_parts(st_all, ec, lp_sp.pmxu_fwd, keys_st)
-    timed("  digits + ntt_keymul_parts", jax.jit(jax.vmap(kernel_only)),
-          a_coef)
+    wl_k = 1 if lp_sp.pmxu_fwd.lane == "single" else 2
+    def kernel_only(a, ks, ec_):
+        st_all = digits_only(a)
+        return pallas_mxu.ntt_keymul_parts(st_all, ec_, lp_sp.pmxu_fwd,
+                                           ks, shoup=len(ks[0]) > wl_k)
+    timed("  digits + ntt_keymul_parts",
+          jax.jit(jax.vmap(kernel_only, in_axes=(0, None, None))),
+          a_coef, keys_st, ec)
 
     def pdiv_only(pair0):
         return E._pdiv_fused(pair0, lp_sp, lp_ord, PiRs, eng.params.S)

@@ -1785,7 +1785,11 @@ class CkksEngine:
 
         if not self.use_pallas_mxu:
             return None
-        if os.environ.get("TIBERATE_SHOUP_KEYS", "1") != "1":
+        default = "0" if self.ckksCfg.logN >= 17 else "1"
+        if os.environ.get("TIBERATE_SHOUP_KEYS", default) != "1":
+            # logN17 runs against the HBM capacity wall (evk caches are
+            # the biggest resident) — the companion lanes double key
+            # bytes for a measured ~1% win, so default them off there
             return None
         cached = getattr(ksk, "_pmxu_quads", None)
         if cached is None:

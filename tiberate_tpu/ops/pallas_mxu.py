@@ -1596,7 +1596,12 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         # part of the jit key — the env override then always takes
         nk = len(kflat) // klanes
         npd_g = (len(pdflat) - 1) // wl if pdflat else 0
-        p1b = _pick_p1b(L, g.sa, g.sb, P1, P2, wl, nk, npd_g)
+        # Shoup keys carry companion planes beyond the wl the estimate
+        # already counts per key — charge them so tight cells (e.g. the
+        # vmap-batched per-part chain) drop to a smaller row block
+        # instead of overflowing scoped VMEM
+        p1b = _pick_p1b(L, g.sa, g.sb, P1, P2, wl, nk, npd_g,
+                        extra_rows=wl * nk if shoup else 0)
         ub = _transform_unroll()
         if ub > 1 and p1b == P1 and not nk:
             # the unrolled cell carries ub x lanes / diag buffers /
