@@ -174,37 +174,9 @@ def _build_engine(preset):
         cfg = toy_config(logN=8, num_scales=4, num_special_primes=2,
                          scale_bits=30)
         eng = CkksEngine(cfg, seed=7)
-    elif preset.endswith("_30"):
-        # 30-bit buffer mode (int32 residues, single-lane u32 kernels):
-        # e.g. TIBERATE_BENCH_PRESET=logN15_30.  num_scales pinned to the
-        # 62-bit preset's level budget for an equal-depth comparison.
-        from tiberate_tpu.config.ckks_config import CkksConfig
-
-        logN = int(preset[len("logN"):-len("_30")])
-        depth = CkksConfig.parse(f"logN{logN}").num_scales
-        # 25-bit NTT-friendly primes at 2N spacing run out before the
-        # 62-bit preset depth at large rings (logN17: 16 available) —
-        # cap to what the chain supports
-        from tiberate_tpu.utils.primes import generate_scale_primes
-
-        avail = len(generate_scale_primes()[(25, 1 << logN)]) - 1
-        depth = min(depth, avail)
-        from tiberate_tpu import errors as _errors
-
-        while True:
-            try:
-                eng = CkksEngine(
-                    dict(logN=logN, buffer_bit_length=30, scale_bits=25,
-                         num_special_primes=2, num_scales=depth),
-                    seed=7,
-                )
-                break
-            except _errors.NotEnoughPrimes:
-                # deep chains can collide with the special band; back off
-                depth -= 1
-                if depth < 2:
-                    raise
     else:
+        # "_30"-suffixed presets (e.g. logN15_30) parse to the 30-bit
+        # buffer-mode twin via CkksConfig.parse_30bit
         eng = CkksEngine(preset, seed=7)
     return eng
 

@@ -58,6 +58,8 @@ class CkksConfig:
     def parse(cls, src: "dict | Preset | str | CkksConfig", **kwargs):
         if isinstance(src, CkksConfig):
             return src
+        if isinstance(src, str) and src.endswith("_30"):
+            return cls.parse_30bit(src[: -len("_30")], **kwargs)
         if isinstance(src, str):
             src = Preset(src)
         preset_config = _PRESET_CONFIGS[src] if isinstance(src, Preset) else src
@@ -65,6 +67,33 @@ class CkksConfig:
             preset_config, dict
         ), "src must be a dictionary or a Preset enum."
         return cls(**preset_config, **kwargs)
+
+    @classmethod
+    def parse_30bit(cls, base: "str | Preset", **kwargs):
+        """30-bit buffer-mode twin of a 62-bit preset (``"logN15_30"``):
+        int32 residues / single-lane u32 kernels (reference
+        ``ckks_config.py:93-96``), scale_bits=25, num_scales pinned to the
+        62-bit preset's level budget for an equal-depth comparison.
+
+        25-bit NTT-friendly primes at 2N spacing run out before the 62-bit
+        depth at large rings (logN17: 16 exist), and deep chains can
+        collide with the special band — the depth backs off until the
+        chain fits instead of raising :class:`errors.NotEnoughPrimes`.
+        """
+        base_cfg = cls.parse(base)
+        logN, depth = base_cfg.logN, base_cfg.num_scales
+        avail = len(generate_scale_primes()[(25, 1 << logN)]) - 1
+        depth = min(depth, avail)
+        opts = dict(logN=logN, buffer_bit_length=30, scale_bits=25,
+                    num_special_primes=2)
+        opts.update(kwargs)
+        while True:
+            try:
+                return cls(num_scales=depth, **opts)
+            except errors.NotEnoughPrimes:
+                depth -= 1
+                if depth < 2:
+                    raise
 
     def __post_init__(self):
         self.N = 2**self.logN
