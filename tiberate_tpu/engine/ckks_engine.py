@@ -160,6 +160,15 @@ def _encrypt_core(pt, dc_rns, e0, e1, v, pk0, pk1, lp: LevelPack):
     return ct0, ct1
 
 
+# One compiled encrypt per call (the body is ~20 elementwise ops — eager
+# dispatch dominates it, ruinously so over a remote-TPU tunnel), and the
+# batch form for encodecrypt_batch.
+_encrypt_core_jit = jax.jit(_encrypt_core)
+_encrypt_batch_core = jax.jit(
+    jax.vmap(_encrypt_core, in_axes=(0, 0, 0, 0, 0, None, None, None))
+)
+
+
 def _final_scale(pt, base_lp, final_scalar, rounding_half, base_at,
                  final_round):
     """Common decrypt epilogue: (base - scaler) * q_lvl^-1, signed, rounded.
@@ -1384,7 +1393,7 @@ class CkksEngine:
         pk0, pk1 = self._pk_rows(pk, level, C)
         dc_rns = jnp.zeros((C,), dtype=self.params.dtype)
 
-        ct0, ct1 = _encrypt_core(
+        ct0, ct1 = _encrypt_core_jit(
             jnp.asarray(pt), dc_rns, e0e1[0], e0e1[1], v, pk0, pk1, lp
         )
         ct0, ct1 = self._shard(ct0), self._shard(ct1)
@@ -1492,7 +1501,7 @@ class CkksEngine:
         v = self.rng.randint(amax=2, shift=0, repeats=1)[0]
         pk0, pk1 = self._pk_rows(pk, level, C)
 
-        ct0, ct1 = _encrypt_core(
+        ct0, ct1 = _encrypt_core_jit(
             jnp.asarray(pt), jnp.asarray(dc_rns), e0e1[0], e0e1[1], v,
             pk0, pk1, lp,
         )
@@ -1549,16 +1558,18 @@ class CkksEngine:
             )
 
         pk0, pk1 = self._pk_rows(pk, level, C)
+        # ONE batched noise draw (sequential counter trajectory, see
+        # Csprng.encrypt_noise_batch) + ONE vmapped encrypt dispatch:
+        # the per-message loop was ~20 eager device calls per message
+        e_all, v_all = self.rng.encrypt_noise_batch(B)
+        ct0s, ct1s = _encrypt_batch_core(
+            jnp.asarray(pts), jnp.asarray(dc_rns),
+            e_all[:, 0], e_all[:, 1], v_all, pk0, pk1, lp,
+        )
         cts = []
         for b in range(B):
-            e0e1 = self.rng.discrete_gaussian(repeats=2)
-            v = self.rng.randint(amax=2, shift=0, repeats=1)[0]
-            ct0, ct1 = _encrypt_core(
-                pts[b], jnp.asarray(dc_rns[b]), e0e1[0], e0e1[1], v,
-                pk0, pk1, lp,
-            )
             cts.append(Ciphertext(
-                data=(self._shard(ct0), self._shard(ct1)),
+                data=(self._shard(ct0s[b]), self._shard(ct1s[b])),
                 flags=(FLAGS.INCLUDE_SPECIAL if include_special
                        else FLAGS(0)),
                 level=level,
@@ -1613,10 +1624,11 @@ class CkksEngine:
                 self.params.final_scalar[level], self._rounding_half,
                 base_at=base_at, final_round=False,
             )
-            pt = np.asarray(pt)
-            dc0 = int(pt[base_at][0])
-            dc1 = int(pt[0][0])
-            dc2 = int(pt[1][0])
+            # pull only the three DC residues (see decryptcode_batch)
+            pt_h = np.asarray(pt[(base_at, 0, 1), 0])
+            dc0 = int(pt_h[0])
+            dc1 = int(pt_h[1])
+            dc2 = int(pt_h[2])
 
             q = self.params.q
             q0 = q[level + base_at]
@@ -1633,7 +1645,7 @@ class CkksEngine:
             dc = (dc + (q1 - 1)) // q1
 
             # Redo the final scaling with zeroed DC slots.
-            pt_z = jnp.asarray(pt).at[base_at, 0].set(0).at[0, 0].set(0)
+            pt_z = pt.at[base_at, 0].set(0).at[0, 0].set(0)
             scaled = _final_scale_host(
                 pt_z, self.params.base_lp(),
                 self.params.final_scalar[level], self._rounding_half,
@@ -1700,7 +1712,10 @@ class CkksEngine:
                 self.params.final_scalar[level], self._rounding_half,
                 base_at=base_at, final_round=False,
             )
-            pts_h = np.asarray(pts)
+            # pull ONLY the three DC residues per message — fetching the
+            # whole [B, C, N] pts to host costs ~MBs over a remote-TPU
+            # link for 3 integers of information
+            pts_h = np.asarray(pts[:, (base_at, 0, 1), 0])
             q = self.params.q
             q0 = q[level + base_at]
             q1 = q[level]
@@ -1712,16 +1727,13 @@ class CkksEngine:
             dcs = []
             for b in range(B):
                 dc = (
-                    int(pts_h[b, base_at, 0]) * m0
-                    + int(pts_h[b, 0, 0]) * m1
-                    + int(pts_h[b, 1, 0]) * m2
+                    int(pts_h[b, 0]) * m0
+                    + int(pts_h[b, 1]) * m1
+                    + int(pts_h[b, 2]) * m2
                 ) % Q
                 dc = dc if dc <= Q // 2 else dc - Q
                 dcs.append((dc + (q1 - 1)) // q1)
-            pt_z = (
-                jnp.asarray(pts).at[:, base_at, 0].set(0).at[:, 0, 0]
-                .set(0)
-            )
+            pt_z = pts.at[:, base_at, 0].set(0).at[:, 0, 0].set(0)
             scaled = _final_scale_batch(
                 pt_z, self.params.base_lp(),
                 self.params.final_scalar[level], self._rounding_half,

@@ -244,10 +244,14 @@ class BatchedInference(BenchmarkBase):
         # batch story (VERDICT r3 #8)
         import time as _time
 
+        msgs = [xs[b, f] for b in range(batches) for f in range(features)]
+        # warmup at the timed shape: the first call compiles the
+        # vectorized rounding/encrypt cores (minutes over the TPU
+        # tunnel) — codec_share must report the steady-state host
+        # FFT + dispatch cost, not one-time compilation
+        _ = eng.encodecrypt_batch(msgs)
         t0 = _time.perf_counter()
-        flat = eng.encodecrypt_batch(
-            [xs[b, f] for b in range(batches) for f in range(features)]
-        )
+        flat = eng.encodecrypt_batch(msgs)
         enc_s = _time.perf_counter() - t0
         cts = [flat[b * features : (b + 1) * features]
                for b in range(batches)]
@@ -277,6 +281,7 @@ class BatchedInference(BenchmarkBase):
 
         zs = (xs * w[None, :, None]).sum(axis=1) + bias
         expect = 0.5 + 0.25 * zs - zs**3 / 48.0
+        _ = eng.decryptcode_batch(outs, is_real=True)  # compile warmup
         t0 = _time.perf_counter()
         got = eng.decryptcode_batch(outs, is_real=True)
         dec_s = _time.perf_counter() - t0

@@ -124,6 +124,32 @@ def _dgauss_from_words(words, btree_lo, btree_hi, depth: int):
     return (sign_bit * 2 - 1) * current.astype(jnp.int64)
 
 
+@partial(jax.jit, static_argnames=("B", "depth", "inc"))
+def _encrypt_noise_core(rows_t, rows_u, btree_lo, btree_hi, q_rows,
+                        B: int, depth: int, inc: int):
+    """Device core of :meth:`Csprng.encrypt_noise_batch`: ChaCha the
+    B-replicated counter trajectories of the two repeating channels and
+    sample.  A k-fold counter advance as ONE uint32 add carries exactly
+    like k sequential ``step_counter`` calls while ``k * inc < 2^32``
+    (same invariant :meth:`randround_batch` relies on)."""
+    ks = jnp.arange(B, dtype=jnp.uint32)
+    tA = jax.vmap(lambda k: step_counter(rows_t, 2 * k * inc))(ks)
+    tB = jax.vmap(lambda k: step_counter(rows_u, k * inc))(ks)
+    # per-message row order matches discrete_gaussian(repeats=2):
+    # [channel t rows (e0), channel u rows (e1)]
+    tgt_dg = jnp.concatenate([tA, tB], axis=1).reshape(-1, 16)
+    e = _dgauss_from_words(
+        chacha20_block(tgt_dg), btree_lo, btree_hi, depth
+    )
+    tR = jax.vmap(lambda k: step_counter(rows_t, (2 * k + 1) * inc))(ks)
+    v = _randint_from_words(
+        chacha20_block(tR.reshape(-1, 16)), q_rows, 0
+    )
+    new_t = step_counter(rows_t, 2 * B * inc)
+    new_u = step_counter(rows_u, B * inc)
+    return e, v, new_t, new_u
+
+
 class Csprng:
     def __init__(
         self,
@@ -287,6 +313,38 @@ class Csprng:
             words, self._btree_lo, self._btree_hi, self.tree_depth
         )
         return samples.reshape(-1, self.num_coefs)
+
+    def encrypt_noise_batch(self, B: int, amax: int = 2):
+        """Noise draws for B encryptions in TWO ChaCha dispatches.
+
+        Bit-identical to B sequential iterations of the encrypt loop's
+        draw pair ``(discrete_gaussian(repeats=2),
+        randint(amax=amax, shift=0, repeats=1)[0])``: per message the
+        first repeating channel serves e0 then v (two counter steps of
+        ``inc``), the second serves e1 (one step) — replica k's rows
+        are the stored states advanced to exactly where call k would
+        have found them, like :meth:`randround_batch`.
+        Returns ``(e [B, 2, N] float, v [B, N] int64)``.
+        """
+        if B == 1:
+            e = self.discrete_gaussian(repeats=2)
+            v = self.randint(amax=amax, shift=0, repeats=1)[0]
+            return e[None], v[None]
+        L = self.L
+        r0 = self.repeating_start
+        rows_t = self.states[r0 : r0 + L]
+        rows_u = self.states[r0 + L : r0 + 2 * L]
+        q_rows = jnp.asarray(np.full(B * L, amax, dtype=np.uint64))
+        e, v, new_t, new_u = _encrypt_noise_core(
+            rows_t, rows_u, self._btree_lo, self._btree_hi, q_rows,
+            B=B, depth=self.tree_depth, inc=self.inc,
+        )
+        self.states = (
+            self.states.at[r0 : r0 + L].set(new_t)
+            .at[r0 + L : r0 + 2 * L].set(new_u)
+        )
+        return (e.reshape(B, 2, self.num_coefs),
+                v.reshape(B, self.num_coefs).astype(jnp.int64))
 
     def randround(self, coef):
         """Stochastically round f64 coefficients [N] — on device.
