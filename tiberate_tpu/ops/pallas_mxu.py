@@ -1366,6 +1366,11 @@ def _pick_p1b(L, sa, sb, P1, P2, wl, nkeys, npd, x_lanes=None,
 _TENSOR_BUDGET = int(5.75 * 2**20)
 _TENSOR_MIN_P1B = 32
 
+# Extra [p1b, P2] u32 rows charged to the per-part keymul-with-accum
+# cell: its measured scoped VMEM runs ~1.8x the base estimate (see the
+# _apply call site) — 112 rows closes the measured 7.3M gap at p1b=64.
+_KEYMUL_ACC_ROWS = 112
+
 
 def tensor_fits(tables: KTables) -> bool:
     """Whether the fused 4-transform tensor kernel's working set fits
@@ -1599,9 +1604,15 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
         # Shoup keys carry companion planes beyond the wl the estimate
         # already counts per key — charge them so tight cells (e.g. the
         # vmap-batched per-part chain) drop to a smaller row block
-        # instead of overflowing scoped VMEM
+        # instead of overflowing scoped VMEM.  The keymul-with-accum
+        # cell additionally under-models by ~1.8x (measured: 16.25M
+        # scoped at the p1b=64 the base estimate called 8.98M — logN15
+        # L=9 group, nkeys=2, pair keys, vmapped B=8); charge the gap
+        # as p1b-proportional rows like the tensor kernel's half-budget
+        # (_TENSOR_BUDGET) handles the same phenomenon.
         p1b = _pick_p1b(L, g.sa, g.sb, P1, P2, wl, nk, npd_g,
-                        extra_rows=wl * nk if shoup else 0)
+                        extra_rows=(wl * nk if shoup else 0)
+                        + (_KEYMUL_ACC_ROWS if (nk and aflat) else 0))
         ub = _transform_unroll()
         if ub > 1 and p1b == P1 and not nk:
             # the unrolled cell carries ub x lanes / diag buffers /
