@@ -61,12 +61,13 @@ class LevelPack:
     mxu_inv: object = None  # mxu_ntt.MxuNttTables | None
     pmxu_fwd: object = None  # pallas_mxu.KTables | None
     pmxu_inv: object = None  # pallas_mxu.KTables | None
+    pdq: jax.Array | None = None  # [C, (2|4)*(1+S)] Shoup P-div quads
 
     def tree_flatten(self):
         return (
             (self.pack, self.psi, self.ipsi, self.Ninv, self.Rs,
              self.Rs_scale, self.mxu_fwd, self.mxu_inv,
-             self.pmxu_fwd, self.pmxu_inv),
+             self.pmxu_fwd, self.pmxu_inv, self.pdq),
             None,
         )
 
@@ -90,6 +91,7 @@ class LevelPack:
             mxu_inv=None if self.mxu_inv is None else self.mxu_inv[sl],
             pmxu_fwd=None if self.pmxu_fwd is None else self.pmxu_fwd[sl],
             pmxu_inv=None if self.pmxu_inv is None else self.pmxu_inv[sl],
+            pdq=None if self.pdq is None else self.pdq[sl],
         )
 
 
@@ -234,6 +236,57 @@ class CkksParams:
         P_prod = math.prod(P_primes)
         self.mont_PR = col([(P_prod * R) % q[i] for i in range(P)])
 
+        # Shoup-form P-division constants for the fused intt_pdiv
+        # epilogue (ops/pallas_mxu.py): the successive rescale
+        #   x_{i+1} = (x_i - p0_i) * P_i^-1
+        # is affine in (x, p0_0..p0_{S-1}), so the kernel evaluates
+        #   out = x * c_x - sum_i p0_i * c_i,
+        #   c_x = (prod_j P_j)^-1 * R^-1   (strips the Montgomery factor
+        #                                   the "mont" variant keeps),
+        #   c_i = prod_{j>=i} P_j^-1       (p0 rows arrive plain),
+        # with every multiply a Shoup constant multiplication — ~2.5x
+        # fewer vector ops than the REDC enter/divide/exit chain it
+        # replaces.  Level-independent (like psi/Rs): LevelPack row
+        # slices select the live channels.  Layout per channel: the
+        # (1+S) constants as (w, w') u32 pairs on the single lane
+        # (w' = floor(w * 2^31 / q), Harvey form) or (w0, w1, s0, s1)
+        # 31-bit splits on the pair lane (s = floor(w * 2^62 / q)).
+        single_lane = cfg.buffer_bit_length <= 31
+        M31 = (1 << 31) - 1
+        pdq_rows = []
+        width = (2 if single_lane else 4) * (1 + S)
+        for ci, qi in enumerate(q):
+            if ci >= P:   # special rows are never P-divided
+                pdq_rows.append([0] * width)
+                continue
+            consts = []
+            cx = pow(R, -1, qi)
+            for Pj in P_primes:
+                cx = cx * pow(Pj, -1, qi) % qi
+            consts.append(cx)
+            for i in range(S):
+                v = 1
+                for Pj in P_primes[i:]:
+                    v = v * pow(Pj, -1, qi) % qi
+                consts.append(v)
+            row = []
+            for w in consts:
+                if single_lane:
+                    row += [w, (w << 31) // qi]
+                else:
+                    s = (w << 62) // qi
+                    row += [w & M31, w >> 31, s & M31, s >> 31]
+            pdq_rows.append(row)
+        self.pdq = jnp.array(np.array(pdq_rows, dtype=np.uint32))
+        # rebuild the full pack now that pdq exists (built above before
+        # the P-division constants)
+        self._full = LevelPack(
+            pack=self.pack, psi=self.psi, ipsi=self.ipsi,
+            Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
+            pdq=self.pdq,
+        )
+        self._lp_cache = {}
+
         # --- decode constants (reference ckks_engine.py:239-270) -------
         scale = cfg.scale
         self.alpha = [
@@ -289,7 +342,7 @@ class CkksParams:
         self._full = LevelPack(
             pack=self.pack, psi=self.psi, ipsi=self.ipsi,
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
-            mxu_fwd=fwd, mxu_inv=inv,
+            mxu_fwd=fwd, mxu_inv=inv, pdq=self.pdq,
         )
         self._lp_cache = {}
         self._mxu_enabled = True
@@ -319,6 +372,7 @@ class CkksParams:
             Ninv=self.Ninv, Rs=self.Rs, Rs_scale=self.Rs_scale,
             mxu_fwd=self._full.mxu_fwd,
             mxu_inv=self._full.mxu_inv, pmxu_fwd=fwd, pmxu_inv=inv,
+            pdq=self.pdq,
         )
         self._lp_cache = {}
         self._pmxu_enabled = True

@@ -306,15 +306,10 @@ def _pdiv_fused(acc_pair, lp_sp, lp_ord, PiRs, S):
             cur = mont.mont_mult(upd, PiRs[i][C:], lp_spec.pack)
 
     d_ord = tuple(p[..., :C, :, :] for p in acc_pair)
-    cols = jnp.concatenate([lp_ord.Rs] + [PiRs[i][:C] for i in range(S)],
-                           axis=1).astype(jnp.uint64)  # [C, 1+S]
-    pdc = jnp.stack(
-        [(cols & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32),
-         (cols >> jnp.uint64(32)).astype(jnp.uint32)],
-        axis=-1,
-    ).reshape(C, -1)                                   # [C, 2+2S]
     p0 = tuple(pallas_mxu.coef_row_pairs(r, lp_ord.pmxu_inv) for r in rows)
-    return pallas_mxu.intt_pdiv(d_ord, lp_ord.pmxu_inv, p0, pdc,
+    # lp_ord.pdq: the affine Shoup form of the division chain (see
+    # CkksParams.pdq / the kernel's pdiv_epilogue)
+    return pallas_mxu.intt_pdiv(d_ord, lp_ord.pmxu_inv, p0, lp_ord.pdq,
                                 out_dtype=lp_ord.Rs.dtype)
 
 

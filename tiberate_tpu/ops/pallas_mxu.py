@@ -482,40 +482,40 @@ def _make_kernel(L, P1, P2, nkeys=0, acc=False, pdiv=0, single=False,
         def pdiv_epilogue(olo, ohi, u):
             # Fused keyswitch P-division epilogue (reference successive
             # rescale by the special primes, ``ckks_engine.py:1068-1124``)
-            # on the iNTT output while it is still in VMEM.  The "mont"
-            # transform variant already keeps the Montgomery factor (the
-            # reference's exit-then-enter round trip is elided); the P0
-            # rows arrive plain and get entered per channel:
-            #   for i: x = REDC((x - REDC(p0_i * Rs)) * PiRi)
-            #   x = reduce_2q(REDC(x))       -> canonical [0, q).
-            kl = cons_ref[c, 4]
-            kh = cons_ref[c, 5]
+            # on the iNTT output while it is still in VMEM.  The chain
+            # x_{i+1} = (x_i - p0_i) * P_i^-1 is affine in
+            # (x, p0_0..p0_{S-1}), so it evaluates as
+            #   out = x * c_x - sum_i p0_i * c_i
+            # with each multiply a SHOUP constant multiplication against
+            # the precomputed quads in ``pdc_ref`` (CkksParams.pdq):
+            # c_x = (prod P)^-1 R^-1 also strips the Montgomery factor
+            # the "mont" variant keeps, and the plain p0 rows need no
+            # enter — ~2.5x fewer vector ops than the REDC
+            # enter/divide/exit chain this replaces.  Bounds: x lazy
+            # [0, 2q) < 2^61 (ordinary q <= 60 bits), p0 < q_special
+            # < 2^61; every product lands lazy [0, 2q).
             if single:
-                x = olo
-                rs = pdc_ref[c, 0]
+                r = _shoup_mult32(olo, pdc_ref[c, 0], pdc_ref[c, 1], q0)
                 for i in range(pdiv):
-                    pe = _redc30(prefs[i][u], rs, kl, q0)
-                    x = _sub2q32(x, pe, q2lo)
-                    x = _redc30(x, pdc_ref[c, 2 + 2 * i], kl, q0)
-                x = _redc_reduce30(x, kl, q0)
-                return _csub32(x, q0), ohi
-            rs0 = pdc_ref[c, 0]
-            rs1 = pdc_ref[c, 1]
-            xlo, xhi = olo, ohi
+                    t = _shoup_mult32(
+                        prefs[i][u], pdc_ref[c, 2 + 2 * i],
+                        pdc_ref[c, 3 + 2 * i], q0)
+                    r = _sub2q32(r, t, q2lo)
+                return _csub32(r, q0), ohi
+            rlo, rhi = _shoup_mult(
+                olo, ohi, pdc_ref[c, 0], pdc_ref[c, 1],
+                pdc_ref[c, 2], pdc_ref[c, 3], q0, q1, q2lo, q2hi)
             for i in range(pdiv):
-                plo, phi = pallas_mont.mont_mult_pair(
+                tlo, thi = _shoup_mult(
                     prefs[2 * i][u], prefs[2 * i + 1][u],
-                    rs0, rs1, q0, q1, kl, kh)
-                xlo, xhi = pallas_mont.mont_sub_pair(
-                    xlo, xhi, plo, phi, q2lo, q2hi)
-                xlo, xhi = pallas_mont.mont_mult_pair(
-                    xlo, xhi, pdc_ref[c, 2 + 2 * i], pdc_ref[c, 3 + 2 * i],
-                    q0, q1, kl, kh)
-            xlo, xhi = pallas_mont.mont_reduce_pair(
-                xlo, xhi, q0, q1, kl, kh)
+                    pdc_ref[c, 4 + 4 * i], pdc_ref[c, 5 + 4 * i],
+                    pdc_ref[c, 6 + 4 * i], pdc_ref[c, 7 + 4 * i],
+                    q0, q1, q2lo, q2hi)
+                rlo, rhi = pallas_mont.mont_sub_pair(
+                    rlo, rhi, tlo, thi, q2lo, q2hi)
             qlo = q0 | (q1 << U32(31))
             qhi = q1 >> U32(1)
-            return pallas_mont.reduce_2q_pair(xlo, xhi, qlo, qhi)
+            return pallas_mont.reduce_2q_pair(rlo, rhi, qlo, qhi)
 
         if ub > 1:
             # Software-pipelined cell over ``ub`` batch items: within
@@ -1438,8 +1438,10 @@ def _run_group(xlanes, W1, W2, TA, consts, folds, L, P1, P2,
     n_out = wl * nkeys if nkeys else wl
     pd_specs = []
     if pdiv:
+        # Shoup P-division quads (CkksParams.pdq): (w, w') per constant
+        # on the single lane, (w0, w1, s0, s1) 31-splits on the pair lane
         pd_specs.append(
-            pl.BlockSpec((Cg, 2 + 2 * npd), lambda c, b, p: (z, z),
+            pl.BlockSpec((Cg, (2 * wl) * (1 + npd)), lambda c, b, p: (z, z),
                          memory_space=pltpu.SMEM))
         pd_specs.extend(
             pl.BlockSpec((ub, p1b, P2), lambda c, b, p: (b, p, z),
@@ -1821,10 +1823,11 @@ def intt_pdiv(x, inv: KTables, p0_pairs, pdc, interpret: bool = False,
     the transform, variant "mont"), or a (lo, hi) u32 pair in the
     forward kernel layout [..., C, P1_fwd, P2_fwd] (e.g. the keyswitch
     accumulator — no XLA-side merge).  ``p0_pairs``: per division i a
-    (plo, phi) pair of the special-row value (from :func:`coef_row_pairs`,
-    batch dims matching x's lead dims).  ``pdc``: u32 [C, 2 + 2*S] —
-    per channel the base-2^32 pairs of Rs (Montgomery entry) and each
-    division's PiRi = P_i^-1 * R.  Returns canonical [0, q) rows:
+    (plo, phi) pair of the PLAIN special-row value (from
+    :func:`coef_row_pairs`, batch dims matching x's lead dims).
+    ``pdc``: u32 [C, (2|4) * (1 + S)] Shoup division quads
+    (``CkksParams.pdq`` — the affine form of the successive rescale,
+    see the kernel's ``pdiv_epilogue``).  Returns canonical [0, q) rows:
     residue-identical to the reference's successive rescale
     (``ckks_engine.py:1068-1124``) followed by mont_reduce + reduce_2q.
     """
