@@ -123,12 +123,22 @@ def test_smoke_all_entry_points(rbits, qbits, dtype):
     rows = [jnp.array(rng.integers(0, q[0], N, dtype=np.int64)
                       .astype(dtype))]
     p0 = tuple(pallas_mxu.coef_row_pairs(r, inv) for r in rows)
-    cols = np.array([[int(rng.integers(1, qi)) for _ in range(1 + S)]
-                     for qi in q], dtype=np.uint64)
-    pdc = jnp.array(np.stack(
-        [(cols & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-         (cols >> np.uint64(32)).astype(np.uint32)],
-        axis=-1).reshape(C, -1))
+    # Shoup-quad division constants (the CkksParams.pdq layout): each
+    # constant as (w, w') on the single lane or 31-splits of
+    # (w, floor(w * 2^62 / q)) on the pair lane
+    M31 = (1 << 31) - 1
+    pdc_rows = []
+    for qi in q:
+        row = []
+        for _ in range(1 + S):
+            w = int(rng.integers(1, qi))
+            if rbits <= 31:
+                row += [w, (w << 31) // qi]
+            else:
+                s = (w << 62) // qi
+                row += [w & M31, w >> 31, s & M31, s >> 31]
+        pdc_rows.append(row)
+    pdc = jnp.array(np.array(pdc_rows, dtype=np.uint32))
     out = np.asarray(pallas_mxu.intt_pdiv(x, inv, p0, pdc,
                                           interpret=True))
     assert (out >= 0).all() and (out < qcol).all()

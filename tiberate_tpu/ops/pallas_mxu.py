@@ -1543,6 +1543,23 @@ def _apply(x, tables: KTables, variant: str, interpret=False, keys=None,
     wl = 1 if single else 2   # lanes per value (single: lo only)
     N = P1 * P2
     pair_in = isinstance(x, tuple)
+    if pair_in and (
+        x[0].shape[-2:] != ((P2, P1) if tables.swap else (P1, P2))
+    ):
+        # Pair operands arrive in the FORWARD kernel layout; when the
+        # forward grid does not transpose into this table's (both
+        # directions put the larger factor first, see build_tables),
+        # merge the lanes to polynomial rows and take the plain path —
+        # one XLA round trip, far cheaper than running the transform in
+        # its slow orientation.
+        lead_p = x[0].shape[:-2]
+        if single:
+            x = x[0].reshape(*lead_p, N).astype(jnp.int32)
+        else:
+            merged = (x[0].astype(jnp.uint64)
+                      | (x[1].astype(jnp.uint64) << jnp.uint64(32)))
+            x = merged.reshape(*lead_p, N).astype(jnp.int64)
+        pair_in = False
     if pair_in:
         # Pair operands arrive in the FORWARD kernel layout
         # [..., C, P1_fwd, P2_fwd]; swapped (inverse) tables read the

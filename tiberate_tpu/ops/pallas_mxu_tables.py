@@ -360,7 +360,19 @@ def build_tables(q, logN: int, *, logN1: int | None = None,
     """
     N = 1 << logN
     if logN1 is None:
-        logN1 = logN // 2
+        # Put the LARGER factor first in the kernel grid (P1 >= P2) in
+        # both directions: on-chip A/B at logN15 (ab_logn1.py, r5) the
+        # (256, 128) forward runs 6.8 us/row vs 11.3 for (128, 256) —
+        # and the inverse (N2, N1) layout already had the fast shape.
+        # Forward and inverse grids then no longer transpose-match, so
+        # fwd-layout pair operands chaining into an inverse transform
+        # are merged to polynomial rows first (see ``_apply``).
+        # Single-lane (30-bit) kernels measured NO win from the flip and
+        # lose ~4% to that merge round trip (bench r5: 839 -> 803 ct/s),
+        # so they keep the transpose-matching layout.
+        big_first = mont_R_bits > 31
+        logN1 = (logN + 1) // 2 if (big_first and not inverse) \
+            else logN // 2
     logN2 = logN - logN1
     N1, N2 = 1 << logN1, 1 << logN2
     R_mont = 1 << mont_R_bits
